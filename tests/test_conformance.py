@@ -1,0 +1,54 @@
+"""W3C RDFC-1.0 conformance suite, manifest-driven.
+
+Mirrors the reference's harness (`/root/reference/src/lib.rs:70-169`):
+for every entry in `tests/manifest.jsonld` dispatch on type —
+EvalTest → canonical N-Quads bytes equal; MapTest → issued map equal;
+NegativeEvalTest → HndqCallLimitExceeded.  Pure Python, no Ray.
+"""
+
+import json
+import os
+
+import pytest
+
+from rdf_canon_ray.core import canonicalize, issue, nquads
+from rdf_canon_ray.core.canon import HndqCallLimitExceeded
+
+REF_TESTS = "/root/reference/tests"
+
+with open(os.path.join(REF_TESTS, "manifest.jsonld")) as f:
+    _MANIFEST = json.load(f)
+
+ENTRIES = _MANIFEST["entries"]
+
+
+def _hash_name(entry):
+    alg = entry.get("hashAlgorithm")
+    if alg is None:
+        return "sha256"
+    return alg.lower().replace("-", "")
+
+
+@pytest.mark.parametrize(
+    "entry", ENTRIES, ids=[e["id"].lstrip("#") for e in ENTRIES]
+)
+def test_manifest_entry(entry):
+    typ = entry["type"]
+    quads = nquads.parse_file(os.path.join(REF_TESTS, entry["action"]))
+    hash_name = _hash_name(entry)
+
+    if typ == "rdfc:RDFC10EvalTest":
+        with open(
+            os.path.join(REF_TESTS, entry["result"]), encoding="utf-8"
+        ) as f:
+            expected = f.read()
+        assert canonicalize(quads, hash_name=hash_name) == expected
+    elif typ == "rdfc:RDFC10MapTest":
+        with open(os.path.join(REF_TESTS, entry["result"])) as f:
+            expected = json.load(f)
+        assert issue(quads, hash_name=hash_name) == expected
+    elif typ == "rdfc:RDFC10NegativeEvalTest":
+        with pytest.raises(HndqCallLimitExceeded):
+            canonicalize(quads, hash_name=hash_name)
+    else:
+        pytest.fail(f"unknown test type {typ}")

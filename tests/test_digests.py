@@ -1,0 +1,111 @@
+"""Exact-digest unit tests pinning internal operators to the reference's
+hex values (`/root/reference/src/canon.rs:1165-1426`) — catches
+serialization/escaping drift before it reaches the conformance suite."""
+
+from rdf_canon_ray.core.canon import (
+    HndqCallCounter,
+    IdentifierIssuer,
+    _State,
+    issue,
+)
+from rdf_canon_ray.core.terms import BNODE, IRI, make_quad
+
+P = "http://example.com/#p"
+Q = "http://example.com/#q"
+R = "http://example.com/#r"
+S = "http://example.com/#s"
+T = "http://example.com/#t"
+U = "http://example.com/#u"
+
+
+def bq(s_kind, s, p, o_kind, o):
+    return make_quad(s_kind, s, p, o_kind, o)
+
+
+def test_issue_identifier():
+    iss = IdentifierIssuer("c14n")
+    assert iss.issue("b0") == "c14n0"
+    assert iss.issue("b1") == "c14n1"
+    assert iss.issue("b99") == "c14n2"
+    assert iss.issue("xyz") == "c14n3"
+    assert iss.issue("xyz") == "c14n3"
+    assert iss.issue("b99") == "c14n2"
+    assert iss.issue("b1") == "c14n1"
+    assert iss.issue("b0") == "c14n0"
+
+
+def test_h1dq_unique_hashes():
+    quads = [
+        bq(IRI, P, Q, BNODE, "e0"),
+        bq(IRI, P, R, BNODE, "e1"),
+        bq(BNODE, "e0", S, IRI, U),
+        bq(BNODE, "e1", T, IRI, U),
+    ]
+    st = _State(quads, "sha256")
+    assert (
+        st.hash_first_degree_quads("e0")
+        == "21d1dd5ba21f3dee9d76c0c00c260fa6f5d5d65315099e553026f4828d0dc77a"
+    )
+    assert (
+        st.hash_first_degree_quads("e1")
+        == "6fa0b9bdb376852b5743ff39ca4cbf7ea14d34966b2828478fbf222e7c764473"
+    )
+
+
+_SHARED = [
+    bq(IRI, P, Q, BNODE, "e0"),
+    bq(IRI, P, Q, BNODE, "e1"),
+    bq(BNODE, "e0", P, BNODE, "e2"),
+    bq(BNODE, "e1", P, BNODE, "e3"),
+    bq(BNODE, "e2", R, BNODE, "e3"),
+]
+
+
+def test_h1dq_shared_hashes():
+    st = _State(_SHARED, "sha256")
+    shared = "3b26142829b8887d011d779079a243bd61ab53c3990d550320a17b59ade6ba36"
+    assert st.hash_first_degree_quads("e0") == shared
+    assert st.hash_first_degree_quads("e1") == shared
+    assert (
+        st.hash_first_degree_quads("e2")
+        == "15973d39de079913dac841ac4fa8c4781c0febfba5e83e5c6e250869587f8659"
+    )
+    assert (
+        st.hash_first_degree_quads("e3")
+        == "7e790a99273eed1dc57e43205d37ce232252c85b26ca4a6ff74ff3b5aea7bccd"
+    )
+
+
+def test_hash_related_blank_node():
+    st = _State([], "sha256")
+    st.canonical_issuer.issued["e2"] = "c14n0"
+    got = st.hash_related_blank_node("e2", P, IdentifierIssuer("b"), "o")
+    assert got == "29cf7e22790bc2ed395b81b3933e5329fc7b25390486085cac31ce7252ca60fa"
+
+
+def test_hash_n_degree_quads():
+    st = _State(_SHARED, "sha256")
+    hash_to_bnodes = {}
+    for n in sorted(st.mention_map):
+        hash_to_bnodes.setdefault(st.hash_first_degree_quads(n), []).append(n)
+    for h in sorted(hash_to_bnodes):
+        ids = hash_to_bnodes[h]
+        if len(ids) == 1:
+            st.canonical_issuer.issue(ids[0])
+    shared_groups = {h: ids for h, ids in hash_to_bnodes.items() if len(ids) > 1}
+    results = []
+    for h in sorted(shared_groups):
+        for n in shared_groups[h]:
+            if st.canonical_issuer.get(n) is not None:
+                continue
+            temp = IdentifierIssuer("b")
+            temp.issue(n)
+            results.append(st.hash_n_degree_quads(n, temp, HndqCallCounter()))
+    results.sort(key=lambda r: r[0])
+    assert results[0][0] == "2c0b377baf86f6c18fed4b0df6741290066e73c932861749b172d1e5560f5045"
+    assert results[1][0] == "fbc300de5afafd97a4b9ee1e72b57754dcdcb7ebb724789ac6a94a5b82a48d30"
+
+
+def test_issue_end_to_end_shared():
+    mapping = issue(_SHARED)
+    assert set(mapping.values()) == {"c14n0", "c14n1", "c14n2", "c14n3"}
