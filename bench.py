@@ -1,0 +1,126 @@
+"""Benchmark harness: headline KG pipeline + per-query timings.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": seconds, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+``--scaling`` runs the headline twice in fresh subprocesses
+(num_cpus=8 vs 32) on the same input and reports scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+    from rdf_canon_ray.pipelines import kg
+
+    # warm: materialize transcript cache (untimed; also warms page cache)
+    tdir = kg.transcripts_parquet(sf_dir)
+    import ray.data as rd
+
+    n_turns = rd.read_parquet(tdir).count()
+
+    queries: dict[str, float] = {}
+
+    # headline: transcripts → extract → link → per-graph canonicalization
+    t0 = time.time()
+    graphs = kg.canonical_graphs_dataset(sf_dir)
+    agg = graphs.map_batches(
+        lambda b: {
+            "n": [len(b["graph_id"])],
+            "ok": [int((b["status"] == "ok").sum())],
+            "quads": [int(b["n_quads"].sum())],
+        },
+        batch_format="pandas",
+    ).to_pandas()
+    headline = time.time() - t0
+    n_graphs, n_ok, n_quads = (
+        int(agg["n"].sum()),
+        int(agg["ok"].sum()),
+        int(agg["quads"].sum()),
+    )
+    queries["kg_canonicalize"] = round(headline, 3)
+
+    t0 = time.time()
+    n_triples = kg.triples_dataset(sf_dir).count()
+    queries["kg_triples"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    kg.entity_mention_counts(sf_dir).count()
+    queries["kg_entity_mentions"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": f"kg_pipeline_seconds_{os.path.basename(os.path.normpath(sf_dir))}",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "n_graphs": n_graphs,
+        "n_graphs_ok": n_ok,
+        "n_quads": n_quads,
+        "n_triples": n_triples,
+        "quads_per_sec": round(n_quads / headline, 1),
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "throughput_lo_quads_per_sec": r_lo["quads_per_sec"],
+        "throughput_hi_quads_per_sec": r_hi["quads_per_sec"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))

@@ -382,6 +382,19 @@ def canonicalize(
     hndq_call_limit: Optional[int] = None,
 ) -> str:
     """End-to-end: issue → relabel → serialize (`src/api.rs:183-190`)."""
+    return canonicalize_quads_with_map(
+        quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit
+    )[0]
+
+
+def canonicalize_quads_with_map(
+    quads: Iterable[Quad],
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+) -> Tuple[str, Dict[str, str]]:
+    """Canonical document plus the issued-identifiers map in one pass —
+    the engine's per-graph kernel (the map is the join key for
+    cross-graph entity canonicalization)."""
     quads = dedup_quads(quads)
     mapping = issue(quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit)
-    return serialize(relabel(quads, mapping))
+    return serialize(relabel(quads, mapping)), mapping

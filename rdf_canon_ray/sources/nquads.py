@@ -1,0 +1,140 @@
+"""N-Quads ⇄ Ray Data: distributed reader and canonical writer.
+
+The reference delegates N-Quads I/O to oxttl in its tests; here it is a
+first-class source/sink (SURVEY.md §2.4 "Sources / sinks").
+
+Reader: ``read_text`` (streaming, line-splittable) → vectorized parse in
+``map_batches`` → flat quads table (``graph_id`` = serialized graph term,
+"" for the default graph).
+
+Writer: canonical corpus emission must not depend on Ray's
+nondeterministic block order, so the graphs are sorted by ``graph_id``
+(range shuffle) and each block writes one text part file named by its
+first/last graph id — lexicographic file order == global order.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..core import nquads as nq
+from ..core.terms import BNODE, DEFAULT, IRI
+
+QUADS_SCHEMA = pa.schema(
+    [
+        ("graph_id", pa.string()),
+        ("s_kind", pa.uint8()),
+        ("s", pa.string()),
+        ("p", pa.string()),
+        ("o_kind", pa.uint8()),
+        ("o", pa.string()),
+        ("o_dt", pa.string()),
+        ("o_lang", pa.string()),
+        ("g_kind", pa.uint8()),
+        ("g", pa.string()),
+    ]
+)
+
+
+def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    rows = {k: [] for k in QUADS_SCHEMA.names}
+    for line in batch["text"]:
+        q = nq.parse_line(line)
+        if q is None:
+            continue
+        s_kind, s, p, o_kind, o, o_dt, o_lang, g_kind, g = q
+        if g_kind == DEFAULT:
+            gid = ""
+        elif g_kind == IRI:
+            gid = "<" + g + ">"
+        else:
+            gid = "_:" + g
+        rows["graph_id"].append(gid)
+        rows["s_kind"].append(s_kind)
+        rows["s"].append(s)
+        rows["p"].append(p)
+        rows["o_kind"].append(o_kind)
+        rows["o"].append(o)
+        rows["o_dt"].append(o_dt)
+        rows["o_lang"].append(o_lang)
+        rows["g_kind"].append(g_kind)
+        rows["g"].append(g)
+    out = pd.DataFrame(rows)
+    out["s_kind"] = out["s_kind"].astype("uint8")
+    out["o_kind"] = out["o_kind"].astype("uint8")
+    out["g_kind"] = out["g_kind"].astype("uint8")
+    return out
+
+
+def read_nquads(paths: str | List[str]) -> rd.Dataset:
+    """N-Quads file(s) → flat quads Dataset."""
+    return rd.read_text(paths).map_batches(
+        _parse_batch, batch_format="pandas", batch_size=65536
+    )
+
+
+def quads_to_tuples(batch: pd.DataFrame) -> list:
+    return [
+        (
+            int(sk),
+            s,
+            p,
+            int(ok),
+            o,
+            dt or "",
+            lang or "",
+            int(gk),
+            g,
+        )
+        for sk, s, p, ok, o, dt, lang, gk, g in zip(
+            batch["s_kind"],
+            batch["s"],
+            batch["p"],
+            batch["o_kind"],
+            batch["o"],
+            batch["o_dt"],
+            batch["o_lang"],
+            batch["g_kind"],
+            batch["g"],
+        )
+    ]
+
+
+def write_canonical_nquads(
+    graphs_ds: rd.Dataset,
+    out_dir: str,
+    doc_column: str = "canon_nquads",
+    key_column: str = "graph_id",
+) -> List[str]:
+    """Canonical-graphs table → ordered text part files under ``out_dir``.
+
+    Deterministic layout regardless of block order: global sort on the
+    graph key, then each block appends its docs to one part file named
+    ``part-<first_key>``; lexicographic listing reproduces the corpus
+    order."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"path": [], "rows": []})
+        first = str(batch[key_column].iloc[0])
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in first)
+        path = os.path.join(out_dir, f"part-{safe}.nq")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for doc in batch[doc_column]:
+                f.write(doc)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "rows": [len(batch)]})
+
+    parts = (
+        graphs_ds.sort(key_column)
+        .map_batches(write_block, batch_format="pandas")
+        .to_pandas()
+    )
+    return sorted(parts["path"].tolist())

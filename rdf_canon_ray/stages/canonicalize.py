@@ -1,0 +1,140 @@
+"""Per-graph RDFC-1.0 canonicalization as a Ray Data grouped transform.
+
+The unit of work is one conversation subgraph (``graph_id``); the RDFC-1.0
+state is function-local per group, mirroring the reference's
+per-invocation ``CanonicalizationState`` (`/root/reference/src/canon.rs:208`)
+— two graphs never share issuer state, which is exactly why this operator
+is embarrassingly parallel.
+
+``canonicalize_graphs(quads_ds)`` =
+``quads_ds.groupby("graph_id").map_groups(_canonicalize_group)`` — the one
+all-to-all shuffle of the KG pipeline.  Graphs whose HNDQ cost exceeds the
+call limit are routed to ``status="quarantined"`` instead of failing the
+job (the reference's ``HndqCallLimitExceeded`` made recoverable,
+`/root/reference/src/error.rs:14-15`).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import pandas as pd
+import ray.data as rd
+
+from ..core.canon import (
+    CanonicalizationError,
+    HndqCallLimitExceeded,
+    canonicalize_quads_with_map,
+)
+from ..core.terms import BNODE, DEFAULT, IRI, LITERAL
+
+REL_IDX = "urn:rel:idx"
+REL_NEXT = "urn:rel:next"
+REL_PART_OF = "urn:rel:partOf"
+REL_IN_CONV = "urn:rel:inConversation"
+SESSION_LABEL = "session"
+
+
+def group_to_quads(group: pd.DataFrame) -> list:
+    """Flat quad rows → core 9-tuples (default graph)."""
+    return [
+        (int(sk), s, p, int(ok), o, dt or "", lang or "", DEFAULT, "")
+        for sk, s, p, ok, o, dt, lang in zip(
+            group["s_kind"],
+            group["s"],
+            group["p"],
+            group["o_kind"],
+            group["o"],
+            group["o_dt"],
+            group["o_lang"],
+        )
+    ]
+
+
+def add_structure_quads(quads: list, conv_id: str) -> list:
+    """Conversation-structure quads built once the group is assembled:
+    session hub + stable turn chain.
+
+    Turn nodes are ordered by ``(idx, label)`` — the stable turn ordering
+    of the assembly invariant (ties broken by the text-hash label, and
+    duplicate turns have already collapsed to one node under set
+    semantics).
+    """
+    turns = sorted(
+        {
+            (int(q[4]), q[1])
+            for q in quads
+            if q[2] == REL_IDX and q[0] == BNODE and q[3] == LITERAL
+        }
+    )
+    conv_iri = "urn:conv:" + conv_id
+    extra = [
+        (BNODE, SESSION_LABEL, REL_IN_CONV, IRI, conv_iri, "", "", DEFAULT, "")
+    ]
+    for _idx, label in turns:
+        extra.append(
+            (BNODE, label, REL_PART_OF, BNODE, SESSION_LABEL, "", "", DEFAULT, "")
+        )
+    for (_, a), (_, b) in zip(turns, turns[1:]):
+        extra.append((BNODE, a, REL_NEXT, BNODE, b, "", "", DEFAULT, ""))
+    return quads + extra
+
+
+def canonicalize_one(
+    graph_id: str,
+    group: pd.DataFrame,
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+) -> dict:
+    """Canonicalize one conversation subgraph → one result row (dict)."""
+    quads = add_structure_quads(group_to_quads(group), graph_id)
+    n_bnodes = len(
+        {q[1] for q in quads if q[0] == BNODE} | {q[4] for q in quads if q[3] == BNODE}
+    )
+    try:
+        doc, label_map = canonicalize_quads_with_map(
+            quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit
+        )
+        status, err = "ok", ""
+    except HndqCallLimitExceeded as e:
+        doc, label_map, status, err = "", {}, "quarantined", str(e)
+    except CanonicalizationError as e:  # pragma: no cover - defensive
+        doc, label_map, status, err = "", {}, "error", str(e)
+    return {
+        "graph_id": graph_id,
+        "canon_nquads": doc,
+        "label_map": json.dumps(label_map, sort_keys=True),
+        "n_quads": len(quads),
+        "n_bnodes": n_bnodes,
+        "status": status,
+        "error": err,
+    }
+
+
+def canonicalize_graphs(
+    quads_ds: rd.Dataset,
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """The KG pipeline's canonicalization shuffle.
+
+    Graphs are hash-bucketed (``num_buckets`` ≈ 4× total cores at scale)
+    so Ray's per-group dispatch cost is paid once per *bucket*; within a
+    bucket a pandas groupby loop hands each conversation to the RDFC-1.0
+    kernel.  Skewed/poisoned graphs are bounded by ``hndq_call_limit``
+    and land in the quarantine status instead of stalling the stage.
+    """
+    from .shuffle import bucketed_map_groups
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            canonicalize_one(gid, sub, hash_name, hndq_call_limit)
+            for gid, sub in bucket.groupby("graph_id", sort=False)
+        ]
+        return pd.DataFrame(rows)
+
+    return bucketed_map_groups(
+        quads_ds, ["graph_id"], run_bucket, num_buckets=num_buckets
+    )

@@ -1,0 +1,143 @@
+"""Bucketed shuffle primitives — scalable replacements for per-group ops.
+
+Ray Data's ``groupby(keys).aggregate(...)`` / ``map_groups`` pay a
+per-group Python cost (~ms); with millions of tiny groups (distinct
+triples, per-entity counts, per-conversation graphs) that dominates
+wall-time.  The scalable idiom used throughout this engine is:
+
+    1. map_batches: local combine (drop_duplicates / partial aggregate)
+       + add ``_bucket = hash64(keys) % num_buckets``
+    2. groupby("_bucket").map_groups: vectorized pandas combine within
+       each bucket (num_buckets groups total, each a big batch)
+
+``num_buckets`` bounds shuffle fan-in and is the knob that scales to a
+cluster: pick ~4× total cores (or data_size / target_partition_size).
+Hashing uses ``pd.util.hash_pandas_object`` with its fixed default key,
+deterministic across processes — two workers always agree on a row's
+bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def add_bucket(
+    batch: pd.DataFrame, keys: Sequence[str], num_buckets: int
+) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(batch[list(keys)], index=False).to_numpy()
+    batch = batch.copy()
+    batch["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+    return batch
+
+
+def bucketed_map_groups(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    local_combine: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    batch_size: int = 32768,
+) -> rd.Dataset:
+    """Generic bucketed shuffle: all rows sharing ``keys`` meet in one
+    bucket; ``bucket_fn`` sees the bucket as one DataFrame (without the
+    ``_bucket`` column) and returns its combined result."""
+    keys = list(keys)
+
+    def prepare(batch: pd.DataFrame) -> pd.DataFrame:
+        if local_combine is not None:
+            batch = local_combine(batch)
+        if len(batch) == 0:
+            out = batch.copy()
+            out["_bucket"] = pd.Series([], dtype=np.int32)
+            return out
+        return add_bucket(batch, keys, num_buckets)
+
+    def run_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(group.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(prepare, batch_format="pandas", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+def distinct(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    batch_size: int = 32768,
+) -> rd.Dataset:
+    """Exact multi-column DISTINCT: per-batch drop_duplicates (combiner)
+    then bucketed global drop_duplicates."""
+    keys = list(keys)
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[keys].drop_duplicates()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    return bucketed_map_groups(
+        ds, keys, combine, num_buckets, local_combine=local, batch_size=batch_size
+    )
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Dict[str, str],
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    batch_size: int = 32768,
+) -> rd.Dataset:
+    """Scalable grouped aggregation: per-batch pandas partial aggregate,
+    then bucketed merge of partials.  ``aggs`` maps column → one of
+    ``sum | count | min | max`` (count re-aggregates as sum of partial
+    counts)."""
+    keys = list(keys)
+    # re-aggregation function for merging partials
+    merge_aggs = {c: ("sum" if a == "count" else a) for c, a in aggs.items()}
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True).agg(aggs).reset_index()
+        return g
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, observed=True)
+            .agg(merge_aggs)
+            .reset_index()
+        )
+
+    return bucketed_map_groups(
+        ds, keys, combine, num_buckets, local_combine=local, batch_size=batch_size
+    )
+
+
+def per_key_map_groups(
+    ds: rd.Dataset,
+    key: str,
+    group_fn: Callable[[str, pd.DataFrame], pd.DataFrame],
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    batch_size: int = 32768,
+) -> rd.Dataset:
+    """Apply ``group_fn(key_value, group_df)`` once per key value, but pay
+    Ray's per-group cost only once per *bucket*: inside each bucket a
+    pandas groupby loop dispatches the per-key calls (µs each)."""
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs: List[pd.DataFrame] = [
+            group_fn(k, sub) for k, sub in bucket.groupby(key, sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(
+        ds, [key], run_bucket, num_buckets, batch_size=batch_size
+    )

@@ -1,0 +1,336 @@
+"""Mention detection, triple extraction and entity linking over transcript
+batches.
+
+Two Ray stages (both vectorized, both actor pools so regexes/dictionaries
+are built once per worker, per SURVEY.md §2.4 "stateful stages"):
+
+* ``MentionExtractor`` — compiled-regex mention detection over the ``text``
+  column; emits one mention row per detected pattern with a deterministic
+  per-turn blank-node label ``t<idx>-<hash64(text)>`` (so duplicate turns
+  collapse to the same turn node under RDF set semantics).
+* ``EntityLinker`` — resolves mention surfaces to canonical entity IRIs
+  against broadcast dimension dictionaries (``ray.put`` once, ``ray.get``
+  in ``__init__``). Ambiguous part names resolve deterministically to the
+  MINIMUM matching ``p_partkey`` — the rule the DuckDB oracle reproduces.
+  Emits either the flat quads table (``output="quads"``) or a scored link
+  table (``output="links"``).
+
+The quads table uses the flat term layout from
+``rdf_canon_ray.core.terms`` plus a ``graph_id`` partition key; graph name
+is always the default graph (one RDF graph per conversation).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..core.terms import BNODE, IRI, LITERAL
+
+REL = "urn:rel:"
+ENT = "urn:e:"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+RE_USER = re.compile(
+    r"^Hello, I am (?P<cust>Customer#\d+)\. Please review order ord-(?P<okey>\d+) from (?P<date>\d{4}-\d{2}-\d{2})\.$"
+)
+RE_ASSISTANT = re.compile(
+    r"^Order ord-(?P<okey>\d+) is (?P<status>\w+) at priority (?P<prio>.+?) with total (?P<total>[0-9.]+)\.$"
+)
+RE_ITEM = re.compile(
+    r'^item (?P<ln>\d+): part "(?P<pname>[^"]+)" brand (?P<brand>\S+) from supplier "(?P<sname>[^"]+)" qty (?P<qty>\d+)$'
+)
+
+MENTION_COLS = ["conv_id", "turn_idx", "turn_label", "role", "mtype", "a", "b", "c", "d"]
+
+
+def turn_labels(turn_idx: pd.Series, text: pd.Series) -> pd.Series:
+    """Deterministic per-turn bnode labels: t<idx>-<16-hex hash of text>.
+
+    ``hash_pandas_object`` with the default fixed key is stable across
+    processes and runs, so labels agree between workers."""
+    h = pd.util.hash_pandas_object(text, index=False)
+    return (
+        "t"
+        + turn_idx.astype(str).to_numpy(dtype=object)
+        + "-"
+        + np.char.mod("%016x", h.to_numpy())
+    )
+
+
+class MentionExtractor:
+    """Regex mention detection; one output row per mention tuple."""
+
+    def __init__(self):
+        self.re_user = RE_USER
+        self.re_assistant = RE_ASSISTANT
+        self.re_item = RE_ITEM
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        labels = turn_labels(batch["turn_idx"], text)
+        base = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].to_numpy(dtype=object),
+                "turn_idx": batch["turn_idx"].to_numpy(),
+                "turn_label": labels,
+                "role": batch["role"].to_numpy(dtype=object),
+            }
+        )
+        outs = []
+
+        u = text.str.extract(self.re_user)
+        um = u["cust"].notna()
+        if um.any():
+            part = base[um.to_numpy()].copy()
+            part["mtype"] = "order_open"
+            part["a"] = u.loc[um, "cust"].to_numpy(dtype=object)
+            part["b"] = u.loc[um, "okey"].to_numpy(dtype=object)
+            part["c"] = ""
+            part["d"] = ""
+            outs.append(part)
+
+        a = text.str.extract(self.re_assistant)
+        am = a["okey"].notna()
+        if am.any():
+            part = base[am.to_numpy()].copy()
+            part["mtype"] = "order_status"
+            part["a"] = a.loc[am, "okey"].to_numpy(dtype=object)
+            part["b"] = a.loc[am, "status"].to_numpy(dtype=object)
+            part["c"] = a.loc[am, "prio"].to_numpy(dtype=object)
+            part["d"] = ""
+            outs.append(part)
+
+        i = text.str.extract(self.re_item)
+        im = i["pname"].notna()
+        if im.any():
+            part = base[im.to_numpy()].copy()
+            part["mtype"] = "item"
+            part["a"] = i.loc[im, "pname"].to_numpy(dtype=object)
+            part["b"] = i.loc[im, "brand"].to_numpy(dtype=object)
+            part["c"] = i.loc[im, "sname"].to_numpy(dtype=object)
+            part["d"] = i.loc[im, "qty"].to_numpy(dtype=object)
+            outs.append(part)
+
+        if not outs:
+            return pd.DataFrame({c: [] for c in MENTION_COLS})
+        return pd.concat(outs, ignore_index=True)[MENTION_COLS]
+
+
+def build_link_maps(sf_dir: str):
+    """Dimension dictionaries for entity linking (driver side, broadcast).
+
+    part resolution: (p_name, p_brand) → MIN(p_partkey); part names are
+    intentionally ambiguous in the corpus, the min-key rule is the
+    deterministic tie-break the oracle replicates. Also records the
+    candidate-set size for the link score (1/n_candidates)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    cust_map = dict(zip(cust["c_name"].to_pylist(), cust["c_custkey"].to_pylist()))
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_brand"],
+    )
+    part_map: dict = {}
+    part_count: dict = {}
+    for k, n, b in zip(
+        part["p_partkey"].to_pylist(),
+        part["p_name"].to_pylist(),
+        part["p_brand"].to_pylist(),
+    ):
+        key = (n, b)
+        part_count[key] = part_count.get(key, 0) + 1
+        if key not in part_map or k < part_map[key]:
+            part_map[key] = k
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    supp_map = dict(zip(supp["s_name"].to_pylist(), supp["s_suppkey"].to_pylist()))
+    return {
+        "cust": cust_map,
+        "part": part_map,
+        "part_count": part_count,
+        "supp": supp_map,
+    }
+
+
+QUAD_COLS = ["graph_id", "s_kind", "s", "p", "o_kind", "o", "o_dt", "o_lang"]
+
+
+def _empty_quads() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "graph_id": pd.Series([], dtype=object),
+            "s_kind": pd.Series([], dtype=np.uint8),
+            "s": pd.Series([], dtype=object),
+            "p": pd.Series([], dtype=object),
+            "o_kind": pd.Series([], dtype=np.uint8),
+            "o": pd.Series([], dtype=object),
+            "o_dt": pd.Series([], dtype=object),
+            "o_lang": pd.Series([], dtype=object),
+        }
+    )
+
+
+class EntityLinker:
+    """Mentions → quads (or scored links). Dictionaries broadcast once."""
+
+    def __init__(self, maps_ref, output: str = "quads"):
+        maps = ray.get(maps_ref) if not isinstance(maps_ref, dict) else maps_ref
+        self.cust = maps["cust"]
+        self.part = maps["part"]
+        self.part_count = maps["part_count"]
+        self.supp = maps["supp"]
+        self.output = output
+
+    # -- helpers ------------------------------------------------------
+    @staticmethod
+    def _rows(graph_id, s_kind, s, p, o_kind, o, o_dt=""):
+        n = len(graph_id)
+        return pd.DataFrame(
+            {
+                "graph_id": np.asarray(graph_id, dtype=object),
+                "s_kind": np.full(n, s_kind, np.uint8),
+                "s": np.asarray(s, dtype=object),
+                "p": np.full(n, p, dtype=object),
+                "o_kind": np.full(n, o_kind, np.uint8),
+                "o": np.asarray(o, dtype=object),
+                "o_dt": np.full(n, o_dt, dtype=object),
+                "o_lang": np.full(n, "", dtype=object),
+            }
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.output == "links":
+            return self._links(batch)
+        return self._quads(batch)
+
+    def _quads(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_quads()
+        conv = batch["conv_id"].to_numpy(dtype=object)
+        tl = batch["turn_label"].to_numpy(dtype=object)
+        okey_from_conv = np.array(
+            [c[5:] for c in conv], dtype=object
+        )  # "conv-<k>" → "<k>"
+        order_iri = np.char.add(ENT + "order:", okey_from_conv.astype(str))
+        out = [
+            # turn metadata: role + idx literal (idx drives chain building
+            # inside the per-graph canonicalization group).
+            self._rows(conv, BNODE, tl, REL + "role", LITERAL,
+                       batch["role"].to_numpy(dtype=object)),
+            self._rows(conv, BNODE, tl, REL + "idx", LITERAL,
+                       batch["turn_idx"].astype(str).to_numpy(dtype=object),
+                       XSD_INT),
+            self._rows(conv, BNODE, tl, REL + "mentions", IRI, order_iri),
+        ]
+
+        m = batch["mtype"].to_numpy(dtype=object)
+
+        sel = m == "order_open"
+        if sel.any():
+            custkey = batch.loc[sel, "a"].map(self.cust)
+            ok = custkey.notna().to_numpy()
+            idx = np.flatnonzero(sel)[ok]
+            cust_iri = (
+                ENT + "cust:" + custkey[ok].astype("int64").astype(str)
+            ).to_numpy(dtype=object)
+            out.append(self._rows(conv[idx], IRI, order_iri[idx],
+                                  REL + "placedBy", IRI, cust_iri))
+            out.append(self._rows(conv[idx], BNODE, tl[idx],
+                                  REL + "mentions", IRI, cust_iri))
+
+        sel = m == "order_status"
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            sub = batch.iloc[idx]
+            out.append(self._rows(conv[idx], IRI, order_iri[idx],
+                                  REL + "status", LITERAL,
+                                  sub["b"].to_numpy(dtype=object)))
+            out.append(self._rows(conv[idx], IRI, order_iri[idx],
+                                  REL + "priority", LITERAL,
+                                  sub["c"].to_numpy(dtype=object)))
+
+        sel = m == "item"
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            sub = batch.iloc[idx]
+            pkeys = pd.Series(
+                list(zip(sub["a"], sub["b"])), index=sub.index
+            ).map(self.part)
+            skeys = sub["c"].map(self.supp)
+            pok = pkeys.notna().to_numpy()
+            if pok.any():
+                pi = idx[pok]
+                part_iri = (
+                    ENT + "part:" + pkeys[pok].astype("int64").astype(str)
+                ).to_numpy(dtype=object)
+                out.append(self._rows(conv[pi], IRI, order_iri[pi],
+                                      REL + "hasPart", IRI, part_iri))
+                out.append(self._rows(conv[pi], BNODE, tl[pi],
+                                      REL + "mentions", IRI, part_iri))
+            sok = skeys.notna().to_numpy()
+            if sok.any():
+                si = idx[sok]
+                supp_iri = (
+                    ENT + "supp:" + skeys[sok].astype("int64").astype(str)
+                ).to_numpy(dtype=object)
+                out.append(self._rows(conv[si], IRI, order_iri[si],
+                                      REL + "suppliedBy", IRI, supp_iri))
+                out.append(self._rows(conv[si], BNODE, tl[si],
+                                      REL + "mentions", IRI, supp_iri))
+
+        return pd.concat(out, ignore_index=True)
+
+    def _links(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Scored link table: one row per entity mention surface with its
+        resolved IRI and an ambiguity score = 1 / |candidate set|."""
+        rows = {"conv_id": [], "surface": [], "entity_iri": [], "score": []}
+        m = batch["mtype"].to_numpy(dtype=object)
+
+        sel = m == "order_open"
+        if sel.any():
+            sub = batch.loc[sel]
+            keys = sub["a"].map(self.cust)
+            ok = keys.notna()
+            rows["conv_id"].extend(sub.loc[ok, "conv_id"])
+            rows["surface"].extend(sub.loc[ok, "a"])
+            rows["entity_iri"].extend(
+                ENT + "cust:" + keys[ok].astype("int64").astype(str)
+            )
+            rows["score"].extend([1.0] * int(ok.sum()))
+
+        sel = m == "item"
+        if sel.any():
+            sub = batch.loc[sel]
+            pair = pd.Series(list(zip(sub["a"], sub["b"])), index=sub.index)
+            pkeys = pair.map(self.part)
+            counts = pair.map(self.part_count)
+            ok = pkeys.notna()
+            rows["conv_id"].extend(sub.loc[ok, "conv_id"])
+            rows["surface"].extend(sub.loc[ok, "a"] + "|" + sub.loc[ok, "b"])
+            rows["entity_iri"].extend(
+                ENT + "part:" + pkeys[ok].astype("int64").astype(str)
+            )
+            rows["score"].extend((1.0 / counts[ok]).tolist())
+
+            skeys = sub["c"].map(self.supp)
+            ok = skeys.notna()
+            rows["conv_id"].extend(sub.loc[ok, "conv_id"])
+            rows["surface"].extend(sub.loc[ok, "c"])
+            rows["entity_iri"].extend(
+                ENT + "supp:" + skeys[ok].astype("int64").astype(str)
+            )
+            rows["score"].extend([1.0] * int(ok.sum()))
+
+        return pd.DataFrame(rows)
