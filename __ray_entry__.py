@@ -36,13 +36,37 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_canon_ray.pipelines import kg
+    from rdf_canon_ray.pipelines import analytics, corpus, kg
 
     return {
+        # knowledge-graph construction family (SURVEY.md §2.1-2.2)
         "kg_triples": lambda sf: kg.triples_dataset(sf),
         "kg_entity_mentions": lambda sf: kg.entity_mention_counts(sf),
         "kg_links": lambda sf: kg.distinct_links_dataset(sf),
         "kg_canonical_graphs": lambda sf: kg.canonical_graphs_dataset(sf),
+        # relational / wide-op family (§2.4 aggregations, joins, sorts)
+        "pricing_summary": analytics.pricing_summary,
+        "top_customers": analytics.top_customers,
+        "events_hourly": analytics.events_hourly,
+        "docs_by_source": analytics.docs_by_source,
+        # dedup family
+        "dedup_exact": corpus.dedup_exact,
+        "dedup_minhash_pairs": corpus.minhash_pairs,
+        "dedup_minhash_groups": corpus.minhash_groups,
+        "dedup_simhash_pairs": corpus.simhash_pairs,
+        "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
+        "dedup_embedding_pairs": corpus.embedding_near_dups,
+        # text analysis family
+        "token_stats": corpus.token_stats,
+        "quality_scores": corpus.quality_scores,
+        "lang_id": corpus.lang_id,
+        "fingerprints": corpus.fingerprints,
+        # similarity search family
+        "ann_topk": corpus.ann_topk,
+        "ann_lsh_topk": corpus.ann_lsh_topk,
+        # multimodal plumbing family
+        "media_features": corpus.media_feature_table,
+        "media_stats": corpus.media_stats,
     }
 
 
@@ -112,5 +136,67 @@ t AS (
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 )
 SELECT DISTINCT conv_id, surface, entity_iri FROM t
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT c_custkey, ROUND(revenue, 4) AS revenue, c_name
+FROM (
+  SELECT o_custkey AS c_custkey, SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY o_custkey
+) r JOIN customer USING (c_custkey)
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+        "events_hourly": """
+SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY user_id, event_type, date_trunc('hour', ts)
+""",
+        "docs_by_source": """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY source
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+""",
+        "token_stats": """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_obs,
+       LENGTH(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       LENGTH(regexp_extract_all(text, '[A-Za-z0-9]+(''[a-z]+)?'))
+         AS n_word_tokens
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+), qq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS query_id,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM q
+), scored AS (
+  SELECT qq.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qq.qv) AS s
+  FROM embeddings e CROSS JOIN qq
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= 10
 """,
     }

@@ -1,0 +1,186 @@
+"""Relational/analytic operators over the testdata tables — the wide-op
+family (grouped aggregation, broadcast join, sort/top-k, windowed events)
+expressed Ray-Data-first with SQL oracles.
+
+Patterns on display (SURVEY.md §2.4):
+- partial aggregation inside ``map_batches`` before the (bucketed)
+  grouped merge — no raw-row shuffle;
+- small-side broadcast join (``ray.put`` once, dict lookup per batch);
+- global sort only on already-aggregated small results;
+- tumbling event-time windows as grouped aggregation on a computed
+  window key (Ray Data has no watermarks; the ordering assumption is
+  "event time is the ``ts`` column, windows are closed at read time").
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..stages.shuffle import grouped_agg
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style pricing summary over lineitem (shipdate cutoff).
+    Columns named to match the oracle exactly."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"].to_numpy() <= cutoff]
+        disc_price = b["l_extendedprice"] * (1 - b["l_discount"])
+        t = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["l_quantity"],
+                "sum_base_price": b["l_extendedprice"],
+                "sum_disc_price": disc_price,
+                "count_order": np.ones(len(b), np.int64),
+            }
+        )
+        return (
+            t.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    partials = li.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "sum",
+            "sum_base_price": "sum",
+            "sum_disc_price": "sum",
+            "count_order": "sum",
+        },
+        num_buckets=4,
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["avg_qty"] = (batch["sum_qty"] / batch["count_order"]).round(6)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            batch[c] = batch[c].round(4)
+        return batch
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k customers by total order value: grouped sum over orders +
+    broadcast join to customer names + global sort/limit on the small
+    aggregate."""
+    cust_tbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    name_ref = ray.put(
+        dict(zip(cust_tbl["c_custkey"].to_pylist(), cust_tbl["c_name"].to_pylist()))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby("o_custkey", sort=False)["o_totalprice"]
+            .sum()
+            .reset_index()
+        )
+        g.columns = ["c_custkey", "revenue"]
+        return g
+
+    partials = orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(partials, ["c_custkey"], {"revenue": "sum"}, num_buckets=16)
+
+    class AttachName:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["c_name"] = batch["c_custkey"].map(self.names)
+            batch["revenue"] = batch["revenue"].round(4)
+            return batch
+
+    named = merged.map_batches(
+        AttachName,
+        fn_constructor_kwargs={"ref": name_ref},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    top = named.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+    return top
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per (user, event_type): count + value sum.
+    Window key computed per batch; grouped merge is the only shuffle."""
+    ev = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "ts", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "window_start": batch["ts"].dt.floor("h"),
+                "n_events": np.ones(len(batch), np.int64),
+                "sum_value": batch["value"],
+            }
+        )
+        return (
+            t.groupby(["user_id", "event_type", "window_start"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    partials = ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(
+        partials,
+        ["user_id", "event_type", "window_start"],
+        {"n_events": "sum", "sum_value": "sum"},
+        num_buckets=16,
+    )
+    return merged.map_batches(
+        lambda b: b.assign(sum_value=b["sum_value"].round(6)),
+        batch_format="pandas",
+    )
+
+
+def docs_by_source(sf_dir: str) -> rd.Dataset:
+    """documents grouped by source: count + char sum (exact ints)."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.assign(n_docs=np.ones(len(batch), np.int64))
+        return (
+            t.groupby("source", sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+
+    partials = docs.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return grouped_agg(
+        partials, ["source"], {"n_docs": "sum", "total_chars": "sum"}, num_buckets=4
+    )

@@ -1,0 +1,129 @@
+"""Training-data corpus operators wired to the testdata tables.
+
+One function per operator, each ``(sf_dir) -> Dataset`` for the driver's
+``queries()`` registry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..stages import dedup, multimodal, similarity, text
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _texts_ref(sf_dir: str):
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(
+        text.TokenStats, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(
+        text.QualityScore, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(
+        text.LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(
+        text.Fingerprint, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def minhash_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    return dedup.minhash_lsh_pairs(
+        _docs(sf_dir), threshold=threshold, texts_ref=_texts_ref(sf_dir)
+    )
+
+
+def minhash_groups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    return dedup.dup_groups_from_pairs(minhash_pairs(sf_dir, threshold))
+
+
+def simhash_pairs(sf_dir: str) -> rd.Dataset:
+    return dedup.simhash_pairs(_docs(sf_dir))
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """Word-3-gram Jaccard near-dup (same LSH + verify path, word
+    shingles instead of char shingles)."""
+    return dedup.minhash_lsh_pairs(
+        _docs(sf_dir),
+        shingle_k=3,
+        shingle_mode="word",
+        threshold=threshold,
+        texts_ref=_texts_ref(sf_dir),
+    )
+
+
+def _embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def _query_vectors(sf_dir: str, n: int = 8) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vecs = np.stack(t.sort_by("vec_id")["embedding"].to_pylist()[:n])
+    return vecs.astype(np.float64)
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Exact brute-force cosine top-k: queries = the first 8 vectors."""
+    return similarity.cosine_topk(_embeddings(sf_dir), _query_vectors(sf_dir), k=k)
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
+    return similarity.lsh_cosine_topk(
+        _embeddings(sf_dir), _query_vectors(sf_dir), k=k
+    )
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs. The synthetic embeddings have no
+    true near-dups (max pairwise cosine ≈ 0.48); 0.35 exercises the
+    operator on the top tail."""
+    return similarity.embedding_near_dup_pairs(
+        _embeddings(sf_dir), threshold=threshold
+    )
+
+
+def media_feature_table(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing demo over the deterministic synthetic media
+    corpus (decode is stubbed; see stages.multimodal)."""
+    ds = rd.from_arrow(multimodal.synth_media_table(256))
+    return multimodal.media_features(ds)
+
+
+def media_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.from_arrow(multimodal.synth_media_table(256))
+    return multimodal.media_size_stats(ds)

