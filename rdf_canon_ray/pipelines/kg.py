@@ -108,8 +108,17 @@ def canonical_graphs_dataset(
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
 ) -> rd.Dataset:
-    return canonicalize_graphs(
-        quads_dataset(sf_dir, transcripts),
+    """Per-conversation canonical graphs via the fused fast path: the
+    all-to-all exchange moves the compact mentions table; quad expansion
+    and RDFC-1.0 run post-shuffle inside each bucket.  (The generic
+    quads-table path is ``stages.canonicalize.canonicalize_graphs``,
+    used by the N-Quads source and tests.)"""
+    from ..stages.canonicalize import canonicalize_mentions
+
+    maps_ref = ray.put(build_link_maps(sf_dir))
+    return canonicalize_mentions(
+        mentions_dataset(sf_dir, transcripts),
+        maps_ref,
         hash_name=hash_name,
         hndq_call_limit=hndq_call_limit,
     )

@@ -28,6 +28,7 @@ from ..core.canon import (
     canonicalize_quads_with_map,
 )
 from ..core.terms import BNODE, DEFAULT, IRI, LITERAL
+from ..transcripts.extract import EntityLinker
 
 REL_IDX = "urn:rel:idx"
 REL_NEXT = "urn:rel:next"
@@ -137,4 +138,55 @@ def canonicalize_graphs(
 
     return bucketed_map_groups(
         quads_ds, ["graph_id"], run_bucket, num_buckets=num_buckets
+    )
+
+
+_LINKER_CACHE: dict = {}
+
+
+def _cached_linker(maps_ref):
+    """Deserialize the broadcast link maps once per worker process (the
+    cache key is the object ref), not once per bucket task.
+
+    NOTE: ``EntityLinker`` must be imported at module scope — a lazy
+    relative import here would execute on the worker, where the package
+    may not be importable (UDFs ship by value, modules don't)."""
+    key = maps_ref.hex() if hasattr(maps_ref, "hex") else id(maps_ref)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = EntityLinker(maps_ref, output="quads")
+        _LINKER_CACHE[key] = linker
+    return linker
+
+
+def canonicalize_mentions(
+    mentions_ds: rd.Dataset,
+    maps_ref,
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Fused fast path: shuffle the COMPACT mentions table (one row per
+    mention) by conversation bucket, then expand to quads and
+    canonicalize inside the bucket.
+
+    Versus ``canonicalize_graphs`` over a pre-expanded quads table this
+    moves ~6× fewer rows/bytes through the all-to-all exchange — the
+    quad expansion is recomputed post-shuffle where it is cheap and
+    local.  Link maps are broadcast (``ray.put``) and deserialized once
+    per worker via ``_cached_linker``."""
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        linker = _cached_linker(maps_ref)
+        quads = linker(bucket)
+        rows = [
+            canonicalize_one(gid, sub, hash_name, hndq_call_limit)
+            for gid, sub in quads.groupby("graph_id", sort=False)
+        ]
+        return pd.DataFrame(rows)
+
+    from .shuffle import bucketed_map_groups
+
+    return bucketed_map_groups(
+        mentions_ds, ["conv_id"], run_bucket, num_buckets=num_buckets
     )
