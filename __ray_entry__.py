@@ -35,6 +35,14 @@ def entry() -> Any:
     return kg.canonical_graphs_dataset(SF_SMOKE)
 
 
+def _w3c_conformance(sf_dir: str) -> Any:
+    """Distributed W3C rdfc10 conformance run (fixture-driven; sf_dir
+    unused). 86/86 must pass."""
+    from rdf_canon_ray.pipelines.conformance import run_conformance
+
+    return run_conformance(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_canon_ray.pipelines import analytics, corpus, kg
 
@@ -44,6 +52,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_mentions": lambda sf: kg.entity_mention_counts(sf),
         "kg_links": lambda sf: kg.distinct_links_dataset(sf),
         "kg_canonical_graphs": lambda sf: kg.canonical_graphs_dataset(sf),
+        "kg_canonical_sha384": lambda sf: kg.canonical_graphs_dataset(
+            sf, hash_name="sha384"
+        ),
+        "kg_canonical_partitioned": lambda sf: kg.canonical_graphs_partitioned(sf),
+        "rdfc_labels": lambda sf: kg.canonical_labels_dataset(sf),
+        "w3c_conformance": _w3c_conformance,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,

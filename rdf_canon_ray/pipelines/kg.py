@@ -24,8 +24,14 @@ import ray
 import ray.data as rd
 
 from ..stages.canonicalize import canonicalize_graphs
-from ..transcripts.extract import EntityLinker, MentionExtractor, build_link_maps
+from ..transcripts.extract import (
+    EntityLinker,
+    MentionExtractor,
+    build_link_maps,
+    extract_mentions_batch,
+)
 from ..transcripts.gen import build_transcripts, transcripts_parquet
+from ..util import default_buckets, default_pool
 
 _EXTRACT_KW = dict(batch_format="pandas", batch_size=8192)
 
@@ -41,27 +47,32 @@ def transcripts_dataset(sf_dir: str, materialized: bool = True) -> rd.Dataset:
 
 def mentions_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
     ds = transcripts if transcripts is not None else transcripts_dataset(sf_dir)
-    return ds.map_batches(MentionExtractor, concurrency=(1, 8), **_EXTRACT_KW)
+    # Stateless tasks (not an actor pool): regexes are module-level
+    # compiled, so tasks scale to every free core immediately — an
+    # autoscaling pool ramps too slowly for a seconds-long stage.
+    return ds.map_batches(extract_mentions_batch, **_EXTRACT_KW)
+
+
+def _link_batches(sf_dir: str, transcripts, output: str) -> rd.Dataset:
+    """Stateless link stage: broadcast maps deserialized once per
+    worker process via the linker cache, tasks scale instantly."""
+    from ..stages.canonicalize import _cached_linker
+
+    maps_ref = ray.put(build_link_maps(sf_dir))
+
+    def link(batch):
+        linker = _cached_linker(maps_ref)
+        return linker._links(batch) if output == "links" else linker._quads(batch)
+
+    return mentions_dataset(sf_dir, transcripts).map_batches(link, **_EXTRACT_KW)
 
 
 def quads_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
-    maps_ref = ray.put(build_link_maps(sf_dir))
-    return mentions_dataset(sf_dir, transcripts).map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"maps_ref": maps_ref, "output": "quads"},
-        concurrency=(1, 8),
-        **_EXTRACT_KW,
-    )
+    return _link_batches(sf_dir, transcripts, "quads")
 
 
 def links_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
-    maps_ref = ray.put(build_link_maps(sf_dir))
-    return mentions_dataset(sf_dir, transcripts).map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"maps_ref": maps_ref, "output": "links"},
-        concurrency=(1, 8),
-        **_EXTRACT_KW,
-    )
+    return _link_batches(sf_dir, transcripts, "links")
 
 
 def triples_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
@@ -88,6 +99,32 @@ def triples_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd
 
     projected = quads.map_batches(project, batch_format="pandas", batch_size=16384)
     return distinct(projected, ["conv_id", "subj", "pred", "obj"])
+
+
+def canonical_labels_dataset(
+    sf_dir: str, transcripts: Optional[rd.Dataset] = None
+) -> rd.Dataset:
+    """Exploded issued-identifier maps — the reference's ``issue*`` API
+    surface (`/root/reference/src/api.rs:328-459`) as a table:
+    (graph_id, input_label, canon_label)."""
+    import json
+
+    import pandas as pd
+
+    graphs = canonical_graphs_dataset(sf_dir, transcripts)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        gids, ins, outs = [], [], []
+        for gid, lm in zip(batch["graph_id"], batch["label_map"]):
+            for k, v in json.loads(lm).items():
+                gids.append(gid)
+                ins.append(k)
+                outs.append(v)
+        return pd.DataFrame(
+            {"graph_id": gids, "input_label": ins, "canon_label": outs}
+        )
+
+    return graphs.map_batches(explode, batch_format="pandas")
 
 
 def distinct_links_dataset(
@@ -121,7 +158,103 @@ def canonical_graphs_dataset(
         maps_ref,
         hash_name=hash_name,
         hndq_call_limit=hndq_call_limit,
+        num_buckets=default_buckets(),
     )
+
+
+def transcripts_parquet_partitioned(
+    sf_dir: str, num_buckets: int = 128, cache_root: str = "/tmp/rcr_cache"
+) -> str:
+    """Transcript cache partitioned by conversation hash bucket — the
+    production storage layout for conversation logs (one shuffle paid at
+    ingest, then every downstream run is conv-co-located and map-only).
+    One parquet file per bucket directory."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from ..stages.shuffle import add_bucket
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, tag, f"transcripts_by_conv_{num_buckets}")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        return out_dir
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+
+    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["_bucket"].iloc[0])
+        pdir = os.path.join(tmp, f"part={b}")
+        os.makedirs(pdir, exist_ok=True)
+        group.drop(columns=["_bucket"]).to_parquet(
+            os.path.join(pdir, "data.parquet"), index=False
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(group)]})
+
+    (
+        build_transcripts(sf_dir)
+        .map_batches(
+            lambda b: add_bucket(b, ["conv_id"], num_buckets),
+            batch_format="pandas",
+            batch_size=32768,
+        )
+        .groupby("_bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .count()
+    )
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        pass
+    return out_dir
+
+
+def canonical_graphs_partitioned(
+    sf_dir: str,
+    num_buckets: int = 128,
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+) -> rd.Dataset:
+    """Map-only flagship over conv-bucket-partitioned transcript storage:
+    each task reads one bucket file, extracts, links, and canonicalizes
+    its conversations — ZERO all-to-all at query time (the shuffle was
+    paid once at ingest). This is the 100 TB-scale layout: partition
+    count scales with the corpus, tasks scale with the cluster."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.canonicalize import _cached_linker, canonicalize_one
+    from ..transcripts.extract import extract_mentions_batch
+
+    root = transcripts_parquet_partitioned(sf_dir, num_buckets)
+    parts = sorted(
+        os.path.join(root, d, "data.parquet")
+        for d in os.listdir(root)
+        if d.startswith("part=")
+    )
+    maps_ref = ray.put(build_link_maps(sf_dir))
+
+    def process(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        linker = _cached_linker(maps_ref)
+        for path in batch["path"]:
+            df = pq.read_table(path).to_pandas()
+            mentions = extract_mentions_batch(df)
+            quads = linker(mentions)
+            rows.extend(
+                canonicalize_one(
+                    gid, sub, hash_name, hndq_call_limit, structure=True
+                )
+                for gid, sub in quads.groupby("graph_id", sort=False)
+            )
+        return pd.DataFrame(rows)
+
+    ds = rd.from_items([{"path": p} for p in parts])
+    return ds.map_batches(process, batch_format="pandas", batch_size=1)
 
 
 def entity_mention_counts(sf_dir: str) -> rd.Dataset:
@@ -146,21 +279,81 @@ def entity_mention_counts(sf_dir: str) -> rd.Dataset:
     return grouped_agg(projected, ["entity_iri"], {"n_mentions": "sum"})
 
 
+def run_kg_resumable(
+    sf_dir: str,
+    output_root: str,
+    num_buckets: int = 64,
+    hndq_call_limit: Optional[int] = None,
+    transcripts: Optional[rd.Dataset] = None,
+    _fail_buckets: Optional[set] = None,
+):
+    """Flagship run with per-partition lineage: canonical graphs land in
+    ``output_root/graphs/bucket=N/`` partitions written atomically; a
+    rerun skips completed buckets at the input filter (kill/resume safe).
+    ``_fail_buckets`` injects failures for the resume test.
+
+    Returns the run-summary DataFrame (bucket, rows, status, seconds).
+    """
+    from ..stages.canonicalize import _cached_linker, canonicalize_one
+    from ..state.lineage import resumable_bucket_run
+
+    maps_ref = ray.put(build_link_maps(sf_dir))
+    mentions = mentions_dataset(sf_dir, transcripts)
+
+    fail = _fail_buckets or set()
+
+    def bucket_fn(bucket):
+        import pandas as pd
+
+        linker = _cached_linker(maps_ref)
+        quads = linker(bucket)
+        rows = [
+            canonicalize_one(gid, sub, "sha256", hndq_call_limit, structure=True)
+            for gid, sub in quads.groupby("graph_id", sort=False)
+        ]
+        return pd.DataFrame(rows)
+
+    def failing_bucket_fn(bucket):
+        import numpy as _np
+        import pandas as _pd
+
+        h = _pd.util.hash_pandas_object(bucket[["conv_id"]], index=False)
+        b = int(h.iloc[0] % _np.uint64(num_buckets))
+        if b in fail:
+            raise RuntimeError(f"injected failure in bucket {b}")
+        return bucket_fn(bucket)
+
+    return resumable_bucket_run(
+        mentions,
+        ["conv_id"],
+        failing_bucket_fn if fail else bucket_fn,
+        os.path.join(output_root, "graphs"),
+        num_buckets=num_buckets,
+        input_tag=sf_dir,
+    )
+
+
 def run_kg_pipeline(
     sf_dir: str,
     output_root: Optional[str] = None,
     hndq_call_limit: Optional[int] = None,
 ) -> rd.Dataset:
     """End-to-end flagship run. When ``output_root`` is given, writes the
-    partitioned triple table and the canonical-graph table as resumable
-    parquet sinks and returns the canonical graphs Dataset."""
+    partitioned triple table and the resumable canonical-graph
+    partitions and returns the canonical graphs Dataset (from disk)."""
     transcripts = transcripts_dataset(sf_dir)
-    graphs = canonical_graphs_dataset(
-        sf_dir, transcripts, hndq_call_limit=hndq_call_limit
-    )
     if output_root:
+        from ..state.lineage import read_output
+
+        run_kg_resumable(
+            sf_dir,
+            output_root,
+            hndq_call_limit=hndq_call_limit,
+            transcripts=transcripts,
+        )
         triples = triples_dataset(sf_dir, transcripts)
         triples.write_parquet(os.path.join(output_root, "triples"))
-        graphs = graphs.materialize()
-        graphs.write_parquet(os.path.join(output_root, "graphs"))
-    return graphs
+        return read_output(os.path.join(output_root, "graphs"))
+    return canonical_graphs_dataset(
+        sf_dir, transcripts, hndq_call_limit=hndq_call_limit
+    )

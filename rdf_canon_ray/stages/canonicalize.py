@@ -38,7 +38,24 @@ SESSION_LABEL = "session"
 
 
 def group_to_quads(group: pd.DataFrame) -> list:
-    """Flat quad rows → core 9-tuples (default graph)."""
+    """Flat quad rows → core 9-tuples. Graph-name columns (``g_kind``,
+    ``g``) are honored when present (generic N-Quads datasets); KG
+    conversation graphs omit them (default graph)."""
+    if "g_kind" in group.columns:
+        return [
+            (int(sk), s, p, int(ok), o, dt or "", lang or "", int(gk), g or "")
+            for sk, s, p, ok, o, dt, lang, gk, g in zip(
+                group["s_kind"],
+                group["s"],
+                group["p"],
+                group["o_kind"],
+                group["o"],
+                group["o_dt"],
+                group["o_lang"],
+                group["g_kind"],
+                group["g"],
+            )
+        ]
     return [
         (int(sk), s, p, int(ok), o, dt or "", lang or "", DEFAULT, "")
         for sk, s, p, ok, o, dt, lang in zip(
@@ -87,9 +104,16 @@ def canonicalize_one(
     group: pd.DataFrame,
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
+    structure: bool = False,
 ) -> dict:
-    """Canonicalize one conversation subgraph → one result row (dict)."""
-    quads = add_structure_quads(group_to_quads(group), graph_id)
+    """Canonicalize one subgraph → one result row (dict).
+
+    ``structure=True`` adds the KG conversation-structure quads (session
+    hub + turn chain) before canonicalization; generic RDF datasets pass
+    ``False`` and are canonicalized exactly as given."""
+    quads = group_to_quads(group)
+    if structure:
+        quads = add_structure_quads(quads, graph_id)
     n_bnodes = len(
         {q[1] for q in quads if q[0] == BNODE} | {q[4] for q in quads if q[3] == BNODE}
     )
@@ -118,8 +142,9 @@ def canonicalize_graphs(
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
     num_buckets: int = 64,
+    structure: bool = False,
 ) -> rd.Dataset:
-    """The KG pipeline's canonicalization shuffle.
+    """Generic per-graph RDFC-1.0 canonicalization shuffle.
 
     Graphs are hash-bucketed (``num_buckets`` ≈ 4× total cores at scale)
     so Ray's per-group dispatch cost is paid once per *bucket*; within a
@@ -131,7 +156,7 @@ def canonicalize_graphs(
 
     def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = [
-            canonicalize_one(gid, sub, hash_name, hndq_call_limit)
+            canonicalize_one(gid, sub, hash_name, hndq_call_limit, structure)
             for gid, sub in bucket.groupby("graph_id", sort=False)
         ]
         return pd.DataFrame(rows)
@@ -180,7 +205,7 @@ def canonicalize_mentions(
         linker = _cached_linker(maps_ref)
         quads = linker(bucket)
         rows = [
-            canonicalize_one(gid, sub, hash_name, hndq_call_limit)
+            canonicalize_one(gid, sub, hash_name, hndq_call_limit, structure=True)
             for gid, sub in quads.groupby("graph_id", sort=False)
         ]
         return pd.DataFrame(rows)

@@ -25,7 +25,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-DEFAULT_NUM_BUCKETS = 64
+DEFAULT_NUM_BUCKETS = 64  # static fallback; call sites may pass
+                          # util.default_buckets() for cluster-adaptive
 
 
 def add_bucket(

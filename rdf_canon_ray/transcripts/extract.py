@@ -46,6 +46,18 @@ RE_ITEM = re.compile(
 
 MENTION_COLS = ["conv_id", "turn_idx", "turn_label", "role", "mtype", "a", "b", "c", "d"]
 
+# Process-level singletons: stateless-task stages reuse these across
+# batches within a worker process (same amortization as an actor pool,
+# but tasks scale out instantly instead of waiting for pool ramp-up).
+_EXTRACTOR_SINGLETON = None
+
+
+def extract_mentions_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    global _EXTRACTOR_SINGLETON
+    if _EXTRACTOR_SINGLETON is None:
+        _EXTRACTOR_SINGLETON = MentionExtractor()
+    return _EXTRACTOR_SINGLETON(batch)
+
 
 def turn_labels(turn_idx: pd.Series, text: pd.Series) -> pd.Series:
     """Deterministic per-turn bnode labels: t<idx>-<16-hex hash of text>.
@@ -80,40 +92,34 @@ class MentionExtractor:
                 "role": batch["role"].to_numpy(dtype=object),
             }
         )
+        # Pre-filter by role before the regex pass: each pattern only
+        # matches one speaker role, so this cuts regex work ~3×.
+        role = batch["role"].to_numpy(dtype=object)
         outs = []
 
-        u = text.str.extract(self.re_user)
-        um = u["cust"].notna()
-        if um.any():
-            part = base[um.to_numpy()].copy()
-            part["mtype"] = "order_open"
-            part["a"] = u.loc[um, "cust"].to_numpy(dtype=object)
-            part["b"] = u.loc[um, "okey"].to_numpy(dtype=object)
-            part["c"] = ""
-            part["d"] = ""
+        def run(mask, regex, mtype, slots):
+            if not mask.any():
+                return
+            sub_text = text[mask]
+            ext = sub_text.str.extract(regex)
+            hit = ext[slots[0][1]].notna()
+            if not hit.any():
+                return
+            part = base[mask][hit.to_numpy()].copy()
+            part["mtype"] = mtype
+            for col, group in slots:
+                part[col] = ext.loc[hit, group].to_numpy(dtype=object)
+            for col in ("a", "b", "c", "d"):
+                if col not in part.columns:
+                    part[col] = ""
             outs.append(part)
 
-        a = text.str.extract(self.re_assistant)
-        am = a["okey"].notna()
-        if am.any():
-            part = base[am.to_numpy()].copy()
-            part["mtype"] = "order_status"
-            part["a"] = a.loc[am, "okey"].to_numpy(dtype=object)
-            part["b"] = a.loc[am, "status"].to_numpy(dtype=object)
-            part["c"] = a.loc[am, "prio"].to_numpy(dtype=object)
-            part["d"] = ""
-            outs.append(part)
-
-        i = text.str.extract(self.re_item)
-        im = i["pname"].notna()
-        if im.any():
-            part = base[im.to_numpy()].copy()
-            part["mtype"] = "item"
-            part["a"] = i.loc[im, "pname"].to_numpy(dtype=object)
-            part["b"] = i.loc[im, "brand"].to_numpy(dtype=object)
-            part["c"] = i.loc[im, "sname"].to_numpy(dtype=object)
-            part["d"] = i.loc[im, "qty"].to_numpy(dtype=object)
-            outs.append(part)
+        run(role == "user", self.re_user, "order_open",
+            [("a", "cust"), ("b", "okey")])
+        run(role == "assistant", self.re_assistant, "order_status",
+            [("a", "okey"), ("b", "status"), ("c", "prio")])
+        run(role == "tool", self.re_item, "item",
+            [("a", "pname"), ("b", "brand"), ("c", "sname"), ("d", "qty")])
 
         if not outs:
             return pd.DataFrame({c: [] for c in MENTION_COLS})

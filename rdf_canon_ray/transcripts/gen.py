@@ -206,7 +206,9 @@ def build_transcripts(sf_dir: str, concurrency: int | None = None) -> rd.Dataset
     # Autoscaling pools from min=1: several pools coexist in one pipeline,
     # so a fixed min size can over-reserve a small cluster and deadlock the
     # streaming executor.
-    pool = concurrency or (1, 8)
+    from ..util import default_pool
+
+    pool = concurrency or default_pool()
     header = orders.map_batches(
         OrderTurns,
         fn_constructor_kwargs={"customer_ref": cust_ref},

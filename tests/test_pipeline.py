@@ -96,6 +96,27 @@ def test_canonical_graphs_deterministic(transcripts):
     assert g1["canon_nquads"].equals(g2["canon_nquads"])
 
 
+def test_partitioned_path_matches_shuffle_path(ray_session, tmp_path):
+    """The map-only partitioned-storage path and the generic shuffle path
+    produce identical canonical documents."""
+    from rdf_canon_ray.pipelines import kg
+
+    a = (
+        kg.canonical_graphs_partitioned(SF, num_buckets=16)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        kg.canonical_graphs_dataset(SF)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    assert a["canon_nquads"].equals(b["canon_nquads"])
+    assert (a["status"] == "ok").all()
+
+
 def test_quarantine_poison_graph(ray_session):
     """A poison clique graph is quarantined; healthy graphs still pass."""
     import ray.data as rd

@@ -1,0 +1,49 @@
+"""Kill/resume test: a failed run leaves completed partitions; the rerun
+skips them (mtime-stable) and completes the output."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_resume_skips_completed_partitions(ray_session, tmp_path):
+    from rdf_canon_ray.pipelines import kg
+    from rdf_canon_ray.state.lineage import completed_buckets, read_output
+
+    out = str(tmp_path / "kgout")
+    # first run: inject failures in two buckets → run aborts partway
+    with pytest.raises(Exception):
+        kg.run_kg_resumable(
+            SF, out, num_buckets=8, _fail_buckets={2, 5}
+        )
+    done_after_fail = completed_buckets(os.path.join(out, "graphs"))
+    assert 2 not in done_after_fail and 5 not in done_after_fail
+    assert len(done_after_fail) >= 1  # some partitions completed
+
+    mtimes = {
+        b: os.path.getmtime(os.path.join(out, "graphs", f"bucket={b}"))
+        for b in done_after_fail
+    }
+
+    # resume without failure injection: completes the remaining buckets
+    summary = kg.run_kg_resumable(SF, out, num_buckets=8)
+    assert set(summary["bucket"]) == set(range(8))
+    skipped = set(summary[summary["status"] == "skipped"]["bucket"])
+    assert skipped == done_after_fail
+    for b in done_after_fail:  # untouched partitions
+        assert (
+            os.path.getmtime(os.path.join(out, "graphs", f"bucket={b}"))
+            == mtimes[b]
+        )
+
+    # final output is complete and matches the in-memory pipeline
+    got = read_output(os.path.join(out, "graphs")).to_pandas()
+    assert len(got) == 1500
+    assert (got["status"] == "ok").all()
+
+    expect = kg.canonical_graphs_dataset(SF).to_pandas()
+    a = got.sort_values("graph_id")["canon_nquads"].reset_index(drop=True)
+    b = expect.sort_values("graph_id")["canon_nquads"].reset_index(drop=True)
+    assert a.equals(b)
