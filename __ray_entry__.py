@@ -43,6 +43,14 @@ def _w3c_conformance(sf_dir: str) -> Any:
     return run_conformance(sf_dir)
 
 
+def _skewed_graphs(sf_dir: str) -> Any:
+    """Zipf-skewed + unicode-torture transcript corpus (synthetic,
+    deterministic; sf_dir unused): canonicalization under conv_id skew."""
+    from rdf_canon_ray.transcripts.gen_skewed import skewed_canonical_graphs
+
+    return skewed_canonical_graphs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_canon_ray.pipelines import analytics, corpus, kg
 
@@ -58,11 +66,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_partitioned": lambda sf: kg.canonical_graphs_partitioned(sf),
         "rdfc_labels": lambda sf: kg.canonical_labels_dataset(sf),
         "w3c_conformance": _w3c_conformance,
+        "kg_skewed_graphs": _skewed_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
         "docs_by_source": analytics.docs_by_source,
+        "orders_by_nation": analytics.orders_by_nation,
+        "events_prev": analytics.events_prev,
+        "orders_automobile": analytics.orders_automobile,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
         "dedup_minhash_pairs": corpus.minhash_pairs,
@@ -180,6 +192,28 @@ GROUP BY user_id, event_type, date_trunc('hour', ts)
         "docs_by_source": """
 SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
 FROM documents GROUP BY source
+""",
+        "orders_by_nation": """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "events_prev": """
+SELECT event_id, user_id,
+       COALESCE(
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+         -1
+       ) AS prev_event_id
+FROM events
+""",
+        "orders_automobile": """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

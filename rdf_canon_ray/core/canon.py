@@ -387,6 +387,61 @@ def canonicalize(
     )[0]
 
 
+class PerNodeHndqCallCounter(HndqCallCounter):
+    """Per-blank-node-identifier call counter (mirrors
+    ``PerNodeHndqCallCounter``, `src/counter.rs:58-114` — declared by the
+    reference though its public API wires only the global one)."""
+
+    def __init__(self, limit: Optional[int] = None):
+        super().__init__(limit)
+        self.per_node: Dict[str, int] = {}
+
+    def add_node(self, identifier: str) -> None:
+        n = self.per_node.get(identifier, 0) + 1
+        self.per_node[identifier] = n
+        if n > self.limit:
+            raise HndqCallLimitExceeded(self.limit)
+
+
+# --- Graph (triples-only) and quads-list wrappers, mirroring the
+# reference's full public surface (`src/api.rs`): a graph is lifted into
+# a dataset whose quads all use the default graph (`src/api.rs:506-511`).
+def canonicalize_graph(
+    triples: Iterable[Quad],
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+) -> str:
+    """`canonicalize_graph` (`src/api.rs:91-94`): input triples (quads
+    with DEFAULT graph); output canonical N-Triples text."""
+    quads = [(t[0], t[1], t[2], t[3], t[4], t[5], t[6], DEFAULT, "") for t in triples]
+    return canonicalize(quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit)
+
+
+def issue_graph(
+    triples: Iterable[Quad],
+    hash_name: str = "sha256",
+    hndq_call_limit: Optional[int] = None,
+) -> Dict[str, str]:
+    """`issue_graph` (`src/api.rs:367-370,501-512`)."""
+    quads = [(t[0], t[1], t[2], t[3], t[4], t[5], t[6], DEFAULT, "") for t in triples]
+    return issue(quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit)
+
+
+def relabel_graph(triples: Iterable[Quad], mapping: Dict[str, str]) -> List[Quad]:
+    """`relabel_graph` (`src/api.rs:667-675`)."""
+    return relabel(triples, mapping)
+
+
+def sort_graph(triples: Iterable[Quad]) -> List[Quad]:
+    """`sort_graph` (`src/api.rs:911-915`)."""
+    return sort_quads(triples)
+
+
+def serialize_graph(triples: Iterable[Quad]) -> str:
+    """`serialize_graph` (`src/canon.rs:1149-1156`)."""
+    return serialize(triples)
+
+
 def canonicalize_quads_with_map(
     quads: Iterable[Quad],
     hash_name: str = "sha256",

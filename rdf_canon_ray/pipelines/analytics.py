@@ -168,6 +168,85 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     )
 
 
+def orders_by_nation(sf_dir: str) -> rd.Dataset:
+    """Partitioned hash join (orders ⋈ customer on custkey — both sides
+    shuffled) + broadcast nation lookup + grouped aggregate."""
+    from ..stages.joins import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, customer, on="c_custkey", num_buckets=32)
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    named = broadcast_join(joined, nation, on="c_nationkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "n_name": batch["n_name"],
+                "n_orders": np.ones(len(batch), np.int64),
+                "revenue": batch["o_totalprice"],
+            }
+        )
+        return t.groupby("n_name", sort=False).sum().reset_index()
+
+    partials = named.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(
+        partials, ["n_name"], {"n_orders": "sum", "revenue": "sum"}, num_buckets=4
+    )
+    return merged.map_batches(
+        lambda b: b.assign(revenue=b["revenue"].round(4)), batch_format="pandas"
+    )
+
+
+def events_prev(sf_dir: str) -> rd.Dataset:
+    """As-of/previous-row operator: for each event, the previous event id
+    of the same user in time order (bucketed per-user ordered shift)."""
+    from ..stages.joins import asof_prev
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = asof_prev(ev, key="user_id", ts_col="ts", value_cols=["event_id"])
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "prev_event_id": b["prev_event_id"].fillna(-1).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def orders_automobile(sf_dir: str) -> rd.Dataset:
+    """Semi join: orders whose customer is in the AUTOMOBILE segment
+    (broadcast key-set filter, no shuffle)."""
+    import ray
+
+    from ..stages.joins import semi_join_filter
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "AUTOMOBILE", "c_custkey"])
+    keys_ref = ray.put(keys)
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = semi_join_filter(orders, "o_custkey", keys_ref)
+    return out.map_batches(
+        lambda b: b.assign(o_totalprice=b["o_totalprice"].round(4)),
+        batch_format="pandas",
+    )
+
+
 def docs_by_source(sf_dir: str) -> rd.Dataset:
     """documents grouped by source: count + char sum (exact ints)."""
     docs = _read(sf_dir, "documents", columns=["source", "n_chars"])

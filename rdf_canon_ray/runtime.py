@@ -24,21 +24,19 @@ def ensure_importable() -> None:
         from ray import cloudpickle as cp
     except Exception:  # pragma: no cover - ray not installed
         return
-    # Load every UDF-bearing module up front so the registration below
-    # covers them even when callers import lazily.
+    # Load EVERY package module up front so the registration below covers
+    # them even when callers import lazily (a module imported after
+    # registration would ship by reference and fail on workers).
     import importlib
+    import pkgutil
 
-    for name in (
-        "rdf_canon_ray.core",
-        "rdf_canon_ray.transcripts.gen",
-        "rdf_canon_ray.transcripts.extract",
-        "rdf_canon_ray.stages.shuffle",
-        "rdf_canon_ray.stages.canonicalize",
-        "rdf_canon_ray.sources.nquads",
-        "rdf_canon_ray.pipelines.kg",
+    import rdf_canon_ray
+
+    for mod_info in pkgutil.walk_packages(
+        rdf_canon_ray.__path__, prefix="rdf_canon_ray."
     ):
         try:
-            importlib.import_module(name)
+            importlib.import_module(mod_info.name)
         except Exception:
             pass
     for name, mod in list(sys.modules.items()):

@@ -109,3 +109,40 @@ def test_hash_n_degree_quads():
 def test_issue_end_to_end_shared():
     mapping = issue(_SHARED)
     assert set(mapping.values()) == {"c14n0", "c14n1", "c14n2", "c14n3"}
+
+
+def test_graph_api_wrappers():
+    """Triples-only API parity (`src/api.rs:91-94,367-370,911-915`)."""
+    from rdf_canon_ray.core.canon import (
+        canonicalize_graph,
+        issue_graph,
+        relabel_graph,
+        serialize_graph,
+        sort_graph,
+    )
+
+    triples = [
+        bq(BNODE, "x", P, BNODE, "y"),
+        bq(BNODE, "y", Q, IRI, U),
+    ]
+    m = issue_graph(triples)
+    assert set(m.values()) == {"c14n0", "c14n1"}
+    doc = canonicalize_graph(triples)
+    assert doc.endswith(" .\n") and "_:c14n0" in doc
+    rel = relabel_graph(triples, m)
+    assert {t[1] for t in rel} == set(m.values()) - {m["y"]} | {m["x"], m["y"]}
+    assert serialize_graph(sort_graph(rel)) == doc
+
+
+def test_per_node_counter():
+    from rdf_canon_ray.core.canon import (
+        HndqCallLimitExceeded,
+        PerNodeHndqCallCounter,
+    )
+
+    c = PerNodeHndqCallCounter(limit=2)
+    c.add_node("a"); c.add_node("a"); c.add_node("b")
+    import pytest as _pytest
+
+    with _pytest.raises(HndqCallLimitExceeded):
+        c.add_node("a")
