@@ -293,10 +293,12 @@ def issue(
     quads: Iterable[Quad],
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
+    _deduped: bool = False,
 ) -> Dict[str, str]:
     """4.4 Canonicalization Algorithm → issued-identifiers map
     (input blank node label → ``c14nN``); `src/canon.rs:196-480`."""
-    quads = dedup_quads(quads)
+    if not _deduped:
+        quads = dedup_quads(quads)
     state = _State(quads, hash_name)
     counter = HndqCallCounter(hndq_call_limit)
 
@@ -372,8 +374,14 @@ def sort_quads(quads: Iterable[Quad]) -> List[Quad]:
 
 def serialize(quads: Iterable[Quad]) -> str:
     """Spec §5 serialization: sort by quad string, one `` .\\n``-terminated
-    line each, concatenated (`src/canon.rs:1140-1147`)."""
-    return "".join(quad_to_line(q) for q in sort_quads(dedup_quads(quads)))
+    line each, concatenated (`src/canon.rs:1140-1147`).
+
+    Serializes each quad once: sorting the serialized strings is
+    equivalent to sorting quads by their string (same key)."""
+    strs = sorted(quad_to_string(q) for q in dedup_quads(quads))
+    if not strs:
+        return ""
+    return " .\n".join(strs) + " .\n"
 
 
 def canonicalize(
@@ -451,5 +459,12 @@ def canonicalize_quads_with_map(
     the engine's per-graph kernel (the map is the join key for
     cross-graph entity canonicalization)."""
     quads = dedup_quads(quads)
-    mapping = issue(quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit)
-    return serialize(relabel(quads, mapping)), mapping
+    mapping = issue(
+        quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit, _deduped=True
+    )
+    # Serialize directly with label substitution — one pass instead of
+    # relabel-then-reserialize (relabeled quads stay a set: substitution
+    # is injective on distinct quads given a bijective label map).
+    strs = sorted(quad_to_string(q) for q in relabel(quads, mapping))
+    doc = (" .\n".join(strs) + " .\n") if strs else ""
+    return doc, mapping

@@ -239,6 +239,8 @@ def canonical_graphs_partitioned(
     maps_ref = ray.put(build_link_maps(sf_dir))
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.canonicalize import iter_graph_tuples
+
         rows = []
         linker = _cached_linker(maps_ref)
         for path in batch["path"]:
@@ -247,9 +249,9 @@ def canonical_graphs_partitioned(
             quads = linker(mentions)
             rows.extend(
                 canonicalize_one(
-                    gid, sub, hash_name, hndq_call_limit, structure=True
+                    gid, tuples, hash_name, hndq_call_limit, structure=True
                 )
-                for gid, sub in quads.groupby("graph_id", sort=False)
+                for gid, tuples in iter_graph_tuples(quads)
             )
         return pd.DataFrame(rows)
 
@@ -305,11 +307,13 @@ def run_kg_resumable(
     def bucket_fn(bucket):
         import pandas as pd
 
+        from ..stages.canonicalize import iter_graph_tuples
+
         linker = _cached_linker(maps_ref)
         quads = linker(bucket)
         rows = [
-            canonicalize_one(gid, sub, "sha256", hndq_call_limit, structure=True)
-            for gid, sub in quads.groupby("graph_id", sort=False)
+            canonicalize_one(gid, tuples, "sha256", hndq_call_limit, structure=True)
+            for gid, tuples in iter_graph_tuples(quads)
         ]
         return pd.DataFrame(rows)
 
