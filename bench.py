@@ -55,9 +55,10 @@ def run_bench() -> dict:
         ).to_pandas()
 
     # headline: transcripts → extract → link → per-graph canonicalization.
-    # Best of 2 — single executions are noisy at this scale.
+    # Best of N (default 2) — single executions are noisy at this scale.
+    reps = int(os.environ.get("RCR_BENCH_REPS", "2"))
     times = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         agg = consume_graphs()
         times.append(time.time() - t0)
@@ -73,7 +74,7 @@ def run_bench() -> dict:
     # production layout: shuffle paid once at ingest)
     kg.transcripts_parquet_partitioned(sf_dir)  # idempotent ingest
     times = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         n_part = kg.canonical_graphs_partitioned(sf_dir).count()
         times.append(time.time() - t0)
@@ -108,7 +109,8 @@ def run_scaling() -> dict:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RCR_BENCH_REPS=os.environ.get("RCR_BENCH_REPS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
