@@ -47,10 +47,14 @@ def transcripts_dataset(sf_dir: str, materialized: bool = True) -> rd.Dataset:
 
 def mentions_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
     ds = transcripts if transcripts is not None else transcripts_dataset(sf_dir)
-    # Stateless tasks (not an actor pool): regexes are module-level
-    # compiled, so tasks scale to every free core immediately — an
-    # autoscaling pool ramps too slowly for a seconds-long stage.
-    return ds.map_batches(extract_mentions_batch, **_EXTRACT_KW)
+    # Stateless tasks (not an actor pool): tasks scale to every free core
+    # immediately — an autoscaling pool ramps too slowly for a
+    # seconds-long stage. Arrow-native RE2 extraction; zero-copy input.
+    from ..transcripts.extract import extract_mentions_arrow
+
+    return ds.map_batches(
+        extract_mentions_arrow, batch_format="pyarrow", batch_size=8192
+    )
 
 
 def _link_batches(sf_dir: str, transcripts, output: str) -> rd.Dataset:
@@ -62,7 +66,11 @@ def _link_batches(sf_dir: str, transcripts, output: str) -> rd.Dataset:
 
     def link(batch):
         linker = _cached_linker(maps_ref)
-        return linker._links(batch) if output == "links" else linker._quads(batch)
+        if output == "links":
+            return linker._links(batch)
+        if output == "triples":
+            return linker._triples(batch)
+        return linker._quads(batch)
 
     return mentions_dataset(sf_dir, transcripts).map_batches(link, **_EXTRACT_KW)
 
@@ -77,27 +85,12 @@ def links_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.D
 
 def triples_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
     """Distinct extracted (conv_id, subj, pred, obj) IRI/literal triples —
-    the SQL-oracle-checked extraction product.  Set semantics via
-    per-batch dedup (cheap combiner) then a grouped global dedup."""
-    import pandas as pd
-
-    quads = quads_dataset(sf_dir, transcripts)
-
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        sel = batch[batch["s_kind"] == 0]  # IRI-subject rows only
-        out = pd.DataFrame(
-            {
-                "conv_id": sel["graph_id"],
-                "subj": sel["s"],
-                "pred": sel["p"],
-                "obj": sel["o"],
-            }
-        )
-        return out.drop_duplicates()
-
+    the SQL-oracle-checked extraction product.  The linker emits triples
+    directly (no turn-node quad rows), per-batch dedup acts as the
+    combiner, and a bucketed shuffle finishes the global DISTINCT."""
     from ..stages.shuffle import distinct
 
-    projected = quads.map_batches(project, batch_format="pandas", batch_size=16384)
+    projected = _link_batches(sf_dir, transcripts, "triples")
     return distinct(projected, ["conv_id", "subj", "pred", "obj"])
 
 

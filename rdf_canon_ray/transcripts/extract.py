@@ -59,6 +59,67 @@ def extract_mentions_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return _EXTRACTOR_SINGLETON(batch)
 
 
+# (role, RE2 pattern, mtype, struct fields, mention slots)
+_ARROW_SPECS = [
+    ("user", RE_USER.pattern, "order_open", ["cust", "okey"], ["a", "b"]),
+    (
+        "assistant",
+        RE_ASSISTANT.pattern,
+        "order_status",
+        ["okey", "status", "prio"],
+        ["a", "b", "c"],
+    ),
+    (
+        "tool",
+        RE_ITEM.pattern,
+        "item",
+        ["pname", "brand", "sname", "qty"],
+        ["a", "b", "c", "d"],
+    ),
+]
+
+
+def extract_mentions_arrow(batch) -> pd.DataFrame:
+    """Arrow-native mention extraction: role filter + RE2
+    ``pc.extract_regex`` (C++ vectorized, ~3× pandas ``str.extract``);
+    only matched rows cross into pandas for label hashing and output
+    assembly. Used with ``batch_format="pyarrow"``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    outs = []
+    role_arr = batch["role"]
+    for role, pattern, mtype, fields, slots in _ARROW_SPECS:
+        sub = batch.filter(pc.equal(role_arr, role))
+        if sub.num_rows == 0:
+            continue
+        ext = pc.extract_regex(sub["text"], pattern=pattern)
+        valid = pc.is_valid(ext)
+        if not pc.any(valid).as_py():
+            continue
+        sub = sub.filter(valid)
+        ext = ext.filter(valid) if isinstance(ext, pa.ChunkedArray) else ext.filter(valid)
+        text = sub["text"].to_pandas()
+        part = pd.DataFrame(
+            {
+                "conv_id": sub["conv_id"].to_pandas(),
+                "turn_idx": sub["turn_idx"].to_pandas(),
+                "turn_label": turn_labels(sub["turn_idx"].to_pandas(), text),
+                "role": role,
+                "mtype": mtype,
+            }
+        )
+        for field, slot in zip(fields, slots):
+            part[slot] = pc.struct_field(ext, field).to_pandas()
+        for slot in ("a", "b", "c", "d"):
+            if slot not in part.columns:
+                part[slot] = ""
+        outs.append(part)
+    if not outs:
+        return pd.DataFrame({c: [] for c in MENTION_COLS})
+    return pd.concat(outs, ignore_index=True)[MENTION_COLS]
+
+
 def turn_labels(turn_idx: pd.Series, text: pd.Series) -> pd.Series:
     """Deterministic per-turn bnode labels: t<idx>-<16-hex hash of text>.
 
@@ -219,7 +280,74 @@ class EntityLinker:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.output == "links":
             return self._links(batch)
+        if self.output == "triples":
+            return self._triples(batch)
         return self._quads(batch)
+
+    def _triples(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """IRI-subject triples only (conv_id, subj, pred, obj) — skips
+        the turn-node quad rows entirely (~3.5× fewer rows than the full
+        quads table when only the triple product is needed)."""
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in
+                 ["conv_id", "subj", "pred", "obj"]}
+            )
+        conv = batch["conv_id"].to_numpy(dtype=object)
+        okey = np.array([c[5:] for c in conv], dtype=object)
+        order_iri = np.char.add(ENT + "order:", okey.astype(str))
+        m = batch["mtype"].to_numpy(dtype=object)
+        out = []
+
+        def rows(idx, pred, obj):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[idx],
+                        "subj": order_iri[idx],
+                        "pred": pred,
+                        "obj": obj,
+                    }
+                )
+            )
+
+        sel = m == "order_open"
+        if sel.any():
+            custkey = batch.loc[sel, "a"].map(self.cust)
+            ok = custkey.notna().to_numpy()
+            idx = np.flatnonzero(sel)[ok]
+            rows(idx, REL + "placedBy",
+                 (ENT + "cust:" + custkey[ok].astype("int64").astype(str)
+                  ).to_numpy(dtype=object))
+
+        sel = m == "order_status"
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            sub = batch.iloc[idx]
+            rows(idx, REL + "status", sub["b"].to_numpy(dtype=object))
+            rows(idx, REL + "priority", sub["c"].to_numpy(dtype=object))
+
+        sel = m == "item"
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            sub = batch.iloc[idx]
+            pkeys = pd.Series(
+                list(zip(sub["a"], sub["b"])), index=sub.index
+            ).map(self.part)
+            skeys = sub["c"].map(self.supp)
+            pok = pkeys.notna().to_numpy()
+            if pok.any():
+                rows(idx[pok], REL + "hasPart",
+                     (ENT + "part:" + pkeys[pok].astype("int64").astype(str)
+                      ).to_numpy(dtype=object))
+            sok = skeys.notna().to_numpy()
+            if sok.any():
+                rows(idx[sok], REL + "suppliedBy",
+                     (ENT + "supp:" + skeys[sok].astype("int64").astype(str)
+                      ).to_numpy(dtype=object))
+
+        res = pd.concat(out, ignore_index=True)
+        return res.drop_duplicates()
 
     def _quads(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
