@@ -294,19 +294,40 @@ def issue(
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
     _deduped: bool = False,
+    trace=None,
 ) -> Dict[str, str]:
     """4.4 Canonicalization Algorithm → issued-identifiers map
-    (input blank node label → ``c14nN``); `src/canon.rs:196-480`."""
+    (input blank node label → ``c14nN``); `src/canon.rs:196-480`.
+
+    ``trace``: optional ``core.trace.CanonTrace`` collecting the spec log
+    points (the engine's analogue of the reference's YAML debug logger,
+    `src/logger.rs`); zero overhead when None."""
     if not _deduped:
         quads = dedup_quads(quads)
     state = _State(quads, hash_name)
     counter = HndqCallCounter(hndq_call_limit)
+
+    if trace is not None:
+        trace.mention_map = {
+            n: [quad_to_string(q) + " ." for q in qs]
+            for n, qs in sorted(state.mention_map.items())
+        }
 
     # Step 3: H1DQ for every mentioned bnode, grouped by hash.
     hash_to_bnodes: Dict[str, List[str]] = {}
     for n in sorted(state.mention_map):
         h = state.hash_first_degree_quads(n)
         hash_to_bnodes.setdefault(h, []).append(n)
+        if trace is not None:
+            trace.h1dq.append(
+                {
+                    "identifier": n,
+                    "h1dq": {
+                        "log point": "Hash First Degree Quads function (4.6.3).",
+                        "hash": h,
+                    },
+                }
+            )
 
     # Step 4: unique hashes get canonical ids immediately, hash order.
     remaining: Dict[str, List[str]] = {}
@@ -315,7 +336,11 @@ def issue(
         if len(ids) > 1:
             remaining[h] = ids
             continue
-        state.canonical_issuer.issue(ids[0])
+        cid = state.canonical_issuer.issue(ids[0])
+        if trace is not None:
+            trace.unique_assignments.append(
+                {"identifier": ids[0], "hash": h, "canonical label": cid}
+            )
 
     # Step 5: shared-hash groups, hash order.
     for h in sorted(remaining):
@@ -328,6 +353,18 @@ def issue(
             hash_path_list.append(state.hash_n_degree_quads(n, temp, counter))
         # 5.3: results ordered by hash.
         hash_path_list.sort(key=lambda r: r[0])
+        group_trace = None
+        if trace is not None:
+            group_trace = {
+                "hash": h,
+                "identifier list": list(remaining[h]),
+                "ca.5.2": [
+                    {"hndq hash": rh, "issuer": dict(ri.issued)}
+                    for rh, ri in hash_path_list
+                ],
+                "ca.5.3.1": [],
+            }
+            trace.shared_groups.append(group_trace)
         for _rhash, rissuer in hash_path_list:
             # 5.3.1 — reference quirk: existing identifiers recovered via a
             # BTreeMap keyed on the *issued* temp label, i.e. lexicographic
@@ -335,9 +372,16 @@ def issue(
             for _issued, existing in sorted(
                 ((v, k) for k, v in rissuer.issued.items())
             ):
-                state.canonical_issuer.issue(existing)
+                cid = state.canonical_issuer.issue(existing)
+                if group_trace is not None:
+                    group_trace["ca.5.3.1"].append(
+                        {"existing identifier": existing, "cid": cid}
+                    )
 
-    return dict(state.canonical_issuer.issued)
+    result = dict(state.canonical_issuer.issued)
+    if trace is not None:
+        trace.final_map = dict(result)
+    return result
 
 
 def relabel(quads: Iterable[Quad], mapping: Dict[str, str]) -> List[Quad]:

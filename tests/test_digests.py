@@ -146,3 +146,24 @@ def test_per_node_counter():
 
     with _pytest.raises(HndqCallLimitExceeded):
         c.add_node("a")
+
+
+def test_canonicalization_trace():
+    """Structured trace covers the spec log points (engine analogue of
+    the reference's YAML debug logger, src/logger.rs)."""
+    from rdf_canon_ray.core.canon import issue
+    from rdf_canon_ray.core.trace import CanonTrace
+
+    tr = CanonTrace()
+    mapping = issue(_SHARED, trace=tr)
+    assert tr.final_map == mapping
+    assert set(tr.mention_map) == {"e0", "e1", "e2", "e3"}
+    assert len(tr.h1dq) == 4
+    assert len(tr.unique_assignments) == 2  # e2, e3 unique hashes
+    assert len(tr.shared_groups) == 1      # e0/e1 share a hash
+    g = tr.shared_groups[0]
+    assert g["identifier list"] == ["e0", "e1"]
+    assert len(g["ca.5.2"]) == 2
+    yaml_text = tr.to_yaml()
+    assert "ca.2:" in yaml_text and "Hash First Degree Quads" in yaml_text
+    assert "issued identifiers map" in yaml_text
