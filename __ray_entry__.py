@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfc_labels": lambda sf: kg.canonical_labels_dataset(sf),
         "w3c_conformance": _w3c_conformance,
         "kg_skewed_graphs": _skewed_graphs,
+        "kg_entity_degree": lambda sf: kg.entity_degree(sf),
+        "rdfc_hard_graphs": lambda sf: kg.hard_graphs(sf),
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
@@ -144,6 +146,25 @@ m AS (
   SELECT 'urn:e:supp:' || l_suppkey FROM lineitem
 )
 SELECT entity_iri, COUNT(*) AS n_mentions FROM m GROUP BY entity_iri
+""",
+        "kg_entity_degree": f"""
+WITH {part_resolved},
+m AS (
+  SELECT 'conv-' || o_orderkey AS conv_id, 'urn:e:cust:' || o_custkey AS entity_iri
+  FROM orders
+  UNION ALL
+  SELECT 'conv-' || o_orderkey, 'urn:e:order:' || o_orderkey FROM orders
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, 'urn:e:order:' || l_orderkey FROM lineitem
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, 'urn:e:part:' || pr.pk
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN part_resolved pr ON p.p_name = pr.p_name AND p.p_brand = pr.p_brand
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, 'urn:e:supp:' || l_suppkey FROM lineitem
+)
+SELECT entity_iri, COUNT(DISTINCT conv_id) AS n_convs FROM m GROUP BY entity_iri
 """,
         "kg_links": f"""
 WITH {part_resolved},

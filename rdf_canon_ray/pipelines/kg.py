@@ -274,6 +274,70 @@ def entity_mention_counts(sf_dir: str) -> rd.Dataset:
     return grouped_agg(projected, ["entity_iri"], {"n_mentions": "sum"})
 
 
+def entity_degree(sf_dir: str) -> rd.Dataset:
+    """Cross-partition entity resolution stat #2: number of DISTINCT
+    conversations mentioning each entity (distinct shuffle then grouped
+    count — the groupby-aggregate-on-canonical-key pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import distinct, grouped_agg
+
+    quads = quads_dataset(sf_dir)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["p"] == "urn:rel:mentions"]
+        return pd.DataFrame(
+            {"graph_id": sel["graph_id"], "entity_iri": sel["o"]}
+        ).drop_duplicates()
+
+    pairs = distinct(
+        quads.map_batches(project, batch_format="pandas", batch_size=32768),
+        ["graph_id", "entity_iri"],
+    )
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "entity_iri": batch["entity_iri"],
+                "n_convs": np.ones(len(batch), np.int64),
+            }
+        )
+
+    return grouped_agg(
+        pairs.map_batches(ones, batch_format="pandas"),
+        ["entity_iri"],
+        {"n_convs": "sum"},
+    )
+
+
+def hard_graphs(sf_dir: str = "", n_graphs: int = 400) -> rd.Dataset:
+    """HNDQ stress corpus: symmetric bnode cycles (every node shares the
+    same first-degree hash, forcing the N-degree gossip-path search on
+    every graph). Deterministic; sf_dir unused. Returns per-graph status
+    + label counts — all must canonicalize ok under the default call
+    limit (cycle HNDQ cost is linear, unlike the quarantined clique)."""
+    import pandas as pd
+
+    from ..stages.canonicalize import canonicalize_graphs
+
+    rows = {k: [] for k in ["graph_id", "s_kind", "s", "p", "o_kind", "o", "o_dt", "o_lang"]}
+    for g in range(n_graphs):
+        n = 3 + (g % 6)  # cycle lengths 3..8
+        gid = f"cycle{n}-{g}"
+        for i in range(n):
+            rows["graph_id"].append(gid)
+            rows["s_kind"].append(1)
+            rows["s"].append(f"n{i}")
+            rows["p"].append("urn:rel:next")
+            rows["o_kind"].append(1)
+            rows["o"].append(f"n{(i + 1) % n}")
+            rows["o_dt"].append("")
+            rows["o_lang"].append("")
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    return canonicalize_graphs(ds, num_buckets=16, structure=False)
+
+
 def run_kg_resumable(
     sf_dir: str,
     output_root: str,
