@@ -35,11 +35,9 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 from .terms import (
     BNODE,
     DEFAULT,
-    IRI,
     Quad,
     quad_to_line,
     quad_to_string,
-    term_to_string,
 )
 
 DEFAULT_HNDQ_CALL_LIMIT = 4000

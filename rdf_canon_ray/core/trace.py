@@ -11,7 +11,7 @@ possible nor meaningful — structural parity is).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 
 class CanonTrace:

@@ -162,8 +162,6 @@ def transcripts_parquet_partitioned(
     production storage layout for conversation logs (one shuffle paid at
     ingest, then every downstream run is conv-co-located and map-only).
     One parquet file per bucket directory."""
-    import glob as _glob
-
     import pandas as pd
 
     from ..stages.shuffle import add_bucket

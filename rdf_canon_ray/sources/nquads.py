@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..core import nquads as nq
-from ..core.terms import BNODE, DEFAULT, IRI
+from ..core.terms import DEFAULT, IRI
 
 QUADS_SCHEMA = pa.schema(
     [

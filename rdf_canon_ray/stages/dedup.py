@@ -26,8 +26,6 @@ Scale notes (the partitioning assumptions each operator relies on):
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import ray

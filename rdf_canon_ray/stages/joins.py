@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd

@@ -123,8 +123,6 @@ def media_size_stats(ds: rd.Dataset) -> rd.Dataset:
         )
 
     partials = ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
-    import pandas as pd
-
     from .shuffle import grouped_agg
 
     return grouped_agg(
