@@ -88,6 +88,22 @@ def run_bench() -> dict:
     kg.entity_mention_counts(sf_dir).count()
     queries["kg_entity_mentions"] = round(time.time() - t0, 3)
 
+    # one representative per secondary operator family (timed once)
+    from rdf_canon_ray.pipelines import analytics, corpus
+
+    for name, fn in [
+        ("pricing_summary", analytics.pricing_summary),
+        ("events_hourly", analytics.events_hourly),
+        ("orders_by_nation", analytics.orders_by_nation),
+        ("dedup_exact", corpus.dedup_exact),
+        ("dedup_minhash_pairs", corpus.minhash_pairs),
+        ("ann_topk", corpus.ann_topk),
+        ("token_stats", corpus.token_stats),
+    ]:
+        t0 = time.time()
+        fn(sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
     return {
         "metric": f"kg_pipeline_seconds_{os.path.basename(os.path.normpath(sf_dir))}",
         "value": round(headline, 3),

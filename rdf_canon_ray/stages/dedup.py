@@ -80,17 +80,43 @@ def _shingle_set(text: str, k: int, mode: str) -> set:
     return {text[i : i + k] for i in range(len(text) - k + 1)}
 
 
+_FNV = np.uint64(1099511628211)
+
+
 def _shingle_hashes(text: str, k: int, mode: str = "char") -> np.ndarray:
-    """64-bit hashes of the k-shingles (unique)."""
-    shingles = _shingle_set(text, k, mode)
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+    """64-bit hashes of the unique k-shingles.
+
+    Char mode is fully vectorized: UTF-8 byte windows × a polynomial
+    rolling hash in natural uint64 wraparound (any deterministic 64-bit
+    hash serves minhash; the md5-per-shingle Python loop was ~100× the
+    cost of the rest of the signature). Word mode (few shingles per doc)
+    keeps md5."""
+    if mode == "word":
+        shingles = _shingle_set(text, k, mode)
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+                for s in shingles
+            ),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return np.array(
+            [int.from_bytes(hashlib.md5(data).digest()[:8], "big")],
+            dtype=np.uint64,
+        )
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k)
+    powers = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = acc
+        acc = acc * _FNV  # uint64 wraparound
+    with np.errstate(over="ignore"):
+        h = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
 
 
 class MinHasher:
@@ -194,22 +220,49 @@ class _TextLookup:
 
 
 class JaccardVerifier(_TextLookup):
+    """Two-phase candidate verification:
+
+    1. vectorized minhash-signature agreement estimate over the whole
+       batch (broadcast signature matrix) — drops the vast majority of
+       LSH collisions without touching text;
+    2. exact character-shingle Jaccard for the survivors.
+
+    The prefilter margin (threshold − 0.15) keeps estimator variance
+    from rejecting true positives (σ ≈ 0.035 at n_perm=128 → 4σ)."""
+
     def __init__(
         self,
         texts_ref,
         shingle_k: int = 5,
         shingle_mode: str = "char",
         threshold: float = 0.8,
+        sigs_ref=None,
     ):
         super().__init__(texts_ref)
         self.k = shingle_k
         self.mode = shingle_mode
         self.threshold = threshold
+        if sigs_ref is not None:
+            ids, mat = ray.get(sigs_ref) if not isinstance(sigs_ref, tuple) else sigs_ref
+            self.sig_index = {i: j for j, i in enumerate(ids)}
+            self.sig_matrix = mat
+        else:
+            self.sig_index = None
+            self.sig_matrix = None
 
     def _shingles(self, text: str) -> set:
         return _shingle_set(text, self.k, self.mode)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch.copy()
+            out["jaccard"] = pd.Series([], dtype=float)
+            return out
+        if self.sig_index is not None:
+            ia = batch["id_a"].map(self.sig_index).to_numpy()
+            ib = batch["id_b"].map(self.sig_index).to_numpy()
+            est = (self.sig_matrix[ia] == self.sig_matrix[ib]).mean(axis=1)
+            batch = batch[est >= self.threshold - 0.15]
         jac = []
         for a, b in zip(batch["id_a"], batch["id_b"]):
             sa, sb = self._shingles(self.texts[a]), self._shingles(self.texts[b])
@@ -268,6 +321,13 @@ def minhash_lsh_pairs(
     candidates = distinct(candidates, ["id_a", "id_b"], num_buckets=num_buckets)
     if texts_ref is None:
         raise ValueError("texts_ref (ray.put of {doc_id: text}) is required")
+    # broadcast the signature matrix for the vectorized prefilter
+    # (n_docs × n_perm × 8B; at corpus scale swap for a bucketed join of
+    # signatures onto pairs — same two-phase shape)
+    sig_df = sigs.to_pandas()
+    sigs_ref = ray.put(
+        (sig_df[id_col].to_numpy(), np.stack(sig_df["sig"].to_numpy()))
+    )
     return candidates.map_batches(
         JaccardVerifier,
         fn_constructor_kwargs={
@@ -275,6 +335,7 @@ def minhash_lsh_pairs(
             "shingle_k": shingle_k,
             "shingle_mode": shingle_mode,
             "threshold": threshold,
+            "sigs_ref": sigs_ref,
         },
         batch_format="pandas",
         batch_size=4096,
@@ -331,13 +392,16 @@ class SimHasher:
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> np.uint64:
-        acc = np.zeros(64, np.int64)
-        for tok in self.word_re.findall(text.lower()):
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            )
-            bits = (h >> self._SHIFTS) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
+        toks = self.word_re.findall(text.lower())
+        if not toks:
+            return np.uint64(0)
+        # vectorized: deterministic 64-bit token hashes (fixed-key
+        # pandas hashing), bit-expand, signed sum per bit position
+        h = pd.util.hash_pandas_object(
+            pd.Series(toks, dtype=object), index=False
+        ).to_numpy()
+        bits = (h[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
         out = np.uint64(0)
         for i in np.flatnonzero(acc > 0):
             out |= np.uint64(1) << np.uint64(i)
