@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family
         "ann_topk": corpus.ann_topk,
         "ann_lsh_topk": corpus.ann_lsh_topk,
+        "ann_ivf_topk": corpus.ann_ivf_topk,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
         "media_stats": corpus.media_stats,

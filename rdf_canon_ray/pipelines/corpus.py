@@ -108,6 +108,14 @@ def ann_lsh_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
     )
 
 
+def ann_ivf_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """IVF-list approximate top-k (the scale path next to brute force
+    and hyperplane LSH)."""
+    return similarity.ivf_cosine_topk(
+        _embeddings(sf_dir), _query_vectors(sf_dir), k=k
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     """Embedding-cosine near-dup pairs. The synthetic embeddings have no
     true near-dups (max pairwise cosine ≈ 0.48); 0.35 exercises the

@@ -210,6 +210,128 @@ def lsh_cosine_topk(
     return bucketed_map_groups(signed, ["bucket"], scan_bucket, num_buckets=16)
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, n_lists: int = 16, n_iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: init =
+    first ``n_lists`` sample rows (no RNG), fixed iteration count.  At
+    corpus scale the sample is a `ds.limit(...)` pull — training stays a
+    small driver-side step, assignment/search stay distributed."""
+    c = _normalize(sample[:n_lists].copy())
+    xs = _normalize(sample)
+    for _ in range(n_iters):
+        assign = (xs @ c.T).argmax(axis=1)
+        for j in range(n_lists):
+            sel = xs[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_cosine_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 1024,
+) -> rd.Dataset:
+    """IVF approximate top-k: vectors are assigned to their nearest
+    centroid's inverted list (grouped shuffle on the list id); each query
+    scans only its ``n_probes`` closest lists.  Output schema matches
+    ``cosine_topk``; recall grows with ``n_probes`` (== n_lists ⇒ exact).
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    sample = np.stack(
+        [r[vec_col] for r in ds.limit(train_sample).take(train_sample)]
+    ).astype(np.float64)
+    centroids = train_ivf_centroids(sample, n_lists)
+    cref = ray.put(centroids)
+    qn = _normalize(queries)
+    # query → probe lists
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probes]
+    qref = ray.put(qn)
+    probes_ref = ray.put(probes)
+
+    class AssignList:
+        def __init__(self, cref, id_col, vec_col):
+            self.c = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+            self.id_col = id_col
+            self.vec_col = vec_col
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+            lists = (_normalize(vecs) @ self.c.T).argmax(axis=1)
+            out = pd.DataFrame(
+                {self.id_col: batch[self.id_col].to_numpy(), "ivf_list": lists}
+            )
+            out[self.vec_col] = list(vecs)
+            return out
+
+    assigned = ds.map_batches(
+        AssignList,
+        fn_constructor_kwargs={"cref": cref, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def scan(bucket: pd.DataFrame) -> pd.DataFrame:
+        qn_l = ray.get(qref)
+        probes_l = ray.get(probes_ref)
+        outs = []
+        for lst, sub in bucket.groupby("ivf_list", sort=False):
+            q_idx = np.flatnonzero((probes_l == lst).any(axis=1))
+            if len(q_idx) == 0:
+                continue
+            vecs = _normalize(np.stack(sub[vec_col].to_numpy()))
+            ids = sub[id_col].to_numpy()
+            sims = vecs @ qn_l[q_idx].T
+            kk = min(k, len(ids))
+            for j, qi in enumerate(q_idx):
+                col = sims[:, j]
+                idx = np.argpartition(-col, kk - 1)[:kk]
+                order = np.lexsort((ids[idx], -col[idx]))
+                idx = idx[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qi, np.int64),
+                            "vec_id": ids[idx],
+                            "score": col[idx],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partial = bucketed_map_groups(assigned, ["ivf_list"], scan, num_buckets=8)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, sub in bucket.groupby("query_id", sort=False):
+            sub = sub.sort_values(
+                ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int64))
+            outs.append(sub)
+        out = pd.concat(outs, ignore_index=True)
+        out["score"] = out["score"].round(6)
+        return out[["query_id", "rank", "vec_id", "score"]]
+
+    return bucketed_map_groups(partial, ["query_id"], merge, num_buckets=4)
+
+
 def embedding_near_dup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,

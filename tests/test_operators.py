@@ -181,3 +181,23 @@ def test_nquads_source_roundtrip(ray_session, tmp_path):
         n_stmts = sum(1 for line in f if line.strip() and not line.startswith("#"))
     assert len(df) == n_stmts
     assert set(df["graph_id"]) >= {""}  # default graph present
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF top-k: scores byte-match the exact search on shared pairs;
+    recall@10 against brute force is high with 4/16 probes."""
+    from rdf_canon_ray.pipelines import corpus
+
+    exact = corpus.ann_topk(SF).to_pandas()
+    ivf = corpus.ann_ivf_topk(SF).to_pandas()
+    merged = ivf.merge(
+        exact, on=["query_id", "vec_id"], suffixes=("_ivf", "_exact"), how="inner"
+    )
+    assert (merged["score_ivf"] == merged["score_exact"]).all()
+    # rank-1 self-match always survives (query's own list is probed)
+    r1 = ivf[ivf["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
+    # aggregate recall@10
+    hits = len(merged)
+    total = len(exact)
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
