@@ -17,3 +17,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Register every package module for cloudpickle by-value serialization at
+# import time, so UDFs defined here run on Ray workers regardless of the
+# driver's cwd/PYTHONPATH — including when users import the library
+# directly (not via __ray_entry__).
+from . import runtime as _runtime
+
+_runtime.ensure_importable()

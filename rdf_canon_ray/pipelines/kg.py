@@ -218,7 +218,11 @@ def canonical_graphs_partitioned(
     import pandas as pd
     import pyarrow.parquet as pq
 
-    from ..stages.canonicalize import _cached_linker, canonicalize_one
+    from ..stages.canonicalize import (
+        _cached_linker,
+        canonicalize_one,
+        iter_graph_tuples,
+    )
     from ..transcripts.extract import extract_mentions_batch
 
     root = transcripts_parquet_partitioned(sf_dir, num_buckets)
@@ -230,8 +234,6 @@ def canonical_graphs_partitioned(
     maps_ref = ray.put(build_link_maps(sf_dir))
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.canonicalize import iter_graph_tuples
-
         rows = []
         linker = _cached_linker(maps_ref)
         for path in batch["path"]:
@@ -351,7 +353,11 @@ def run_kg_resumable(
 
     Returns the run-summary DataFrame (bucket, rows, status, seconds).
     """
-    from ..stages.canonicalize import _cached_linker, canonicalize_one
+    from ..stages.canonicalize import (
+        _cached_linker,
+        canonicalize_one,
+        iter_graph_tuples,
+    )
     from ..state.lineage import resumable_bucket_run
 
     maps_ref = ray.put(build_link_maps(sf_dir))
@@ -361,8 +367,6 @@ def run_kg_resumable(
 
     def bucket_fn(bucket):
         import pandas as pd
-
-        from ..stages.canonicalize import iter_graph_tuples
 
         linker = _cached_linker(maps_ref)
         quads = linker(bucket)
@@ -396,12 +400,18 @@ def run_kg_pipeline(
     sf_dir: str,
     output_root: Optional[str] = None,
     hndq_call_limit: Optional[int] = None,
+    write_nquads: bool = True,
 ) -> rd.Dataset:
-    """End-to-end flagship run. When ``output_root`` is given, writes the
-    partitioned triple table and the resumable canonical-graph
-    partitions and returns the canonical graphs Dataset (from disk)."""
+    """End-to-end flagship run. When ``output_root`` is given, writes
+
+    * ``graphs/bucket=N/``  — resumable canonical-graph partitions,
+    * ``triples/``          — partitioned Parquet triple table,
+    * ``canonical_nquads/`` — ordered canonical N-Quads corpus,
+
+    and returns the canonical graphs Dataset (from disk)."""
     transcripts = transcripts_dataset(sf_dir)
     if output_root:
+        from ..sources.nquads import write_canonical_nquads
         from ..state.lineage import read_output
 
         run_kg_resumable(
@@ -412,7 +422,12 @@ def run_kg_pipeline(
         )
         triples = triples_dataset(sf_dir, transcripts)
         triples.write_parquet(os.path.join(output_root, "triples"))
-        return read_output(os.path.join(output_root, "graphs"))
+        graphs = read_output(os.path.join(output_root, "graphs"))
+        if write_nquads:
+            write_canonical_nquads(
+                graphs, os.path.join(output_root, "canonical_nquads")
+            )
+        return graphs
     return canonical_graphs_dataset(
         sf_dir, transcripts, hndq_call_limit=hndq_call_limit
     )

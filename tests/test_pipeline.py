@@ -156,3 +156,33 @@ def test_quarantine_poison_graph(ray_session):
     assert by.loc["poison", "status"] == "quarantined"
     assert by.loc["healthy", "status"] == "ok"
     assert "_:c14n0" in by.loc["healthy", "canon_nquads"]
+
+
+def test_run_kg_pipeline_end_to_end(ray_session, tmp_path):
+    """Flagship runner with all three sinks: resumable graph partitions,
+    triple parquet, ordered canonical N-Quads corpus."""
+    import os
+
+    import ray.data as rd
+
+    from rdf_canon_ray.pipelines import kg
+
+    out = str(tmp_path / "full")
+    graphs = kg.run_kg_pipeline(SF, output_root=out)
+    df = graphs.to_pandas()
+    assert len(df) == 1500 and (df["status"] == "ok").all()
+
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    assert len(tri) == 15388
+
+    nq_dir = os.path.join(out, "canonical_nquads")
+    parts = sorted(os.listdir(nq_dir))
+    assert parts
+    text = "".join(
+        open(os.path.join(nq_dir, p), encoding="utf-8").read() for p in parts
+    )
+    assert text.count("\n") == sum(
+        doc.count("\n") for doc in df["canon_nquads"]
+    )
+    # corpus ordered by graph_id: first line belongs to conv-0
+    assert "<urn:conv:conv-0>" in text.split("\n", 40)[0] or "urn:e:order:0" in text.split("\n", 1)[0]
