@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": corpus.ann_ivf_topk,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
+        "media_resized": corpus.media_resized,
+        "media_frames": corpus.media_frames,
         "media_stats": corpus.media_stats,
     }
 

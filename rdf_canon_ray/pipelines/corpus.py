@@ -132,6 +132,19 @@ def media_feature_table(sf_dir: str) -> rd.Dataset:
     return multimodal.media_features(ds)
 
 
+def media_resized(sf_dir: str) -> rd.Dataset:
+    """Image resize stage over the synthetic media corpus (stub decode,
+    real actor plumbing)."""
+    ds = rd.from_arrow(multimodal.synth_media_table(256))
+    return multimodal.resize_images(ds)
+
+
+def media_frames(sf_dir: str) -> rd.Dataset:
+    """Video frame sampling: one row per sampled frame (1 fps, ≤8)."""
+    ds = rd.from_arrow(multimodal.synth_media_table(256))
+    return multimodal.sample_frames(ds)
+
+
 def media_stats(sf_dir: str) -> rd.Dataset:
     ds = rd.from_arrow(multimodal.synth_media_table(256))
     return multimodal.media_size_stats(ds)

@@ -108,6 +108,96 @@ def media_features(ds: rd.Dataset, feature_dim: int = 64) -> rd.Dataset:
     )
 
 
+class ImageResizer:
+    """Actor-pool resize stage (STUB decode/encode — the Ray plumbing is
+    real: pyarrow binary in/out, small batches, per-actor setup). A real
+    pipeline swaps the stub for PIL ``Image.resize``."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.width = width
+        self.height = height
+        # Real version: initialize codec/threadpool once per actor.
+
+    def _resize_stub(self, payload: bytes) -> bytes:
+        # Deterministic fake: resample payload bytes to w*h via modular
+        # indexing (stands in for decoded-pixels → resize → re-encode).
+        n = self.width * self.height
+        if not payload:
+            return b"\x00" * n
+        reps = (n // len(payload)) + 1
+        return (payload * reps)[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_payloads, ok = [], []
+        for kind, payload in zip(kinds, payloads):
+            if kind == "image":
+                out_payloads.append(self._resize_stub(payload))
+                ok.append(True)
+            else:
+                out_payloads.append(b"")
+                ok.append(False)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out_payloads, pa.binary()),
+                "width": pa.array([self.width] * len(kinds), pa.int32()),
+                "height": pa.array([self.height] * len(kinds), pa.int32()),
+                "resized": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def resize_images(ds: rd.Dataset, width: int = 64, height: int = 64) -> rd.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+def sample_frames(ds: rd.Dataset, fps_target: float = 1.0, max_frames: int = 8) -> rd.Dataset:
+    """Frame sampling for video rows: one output row per sampled frame at
+    ``fps_target`` (capped at ``max_frames``), deterministic timestamps
+    from ``duration_ms``. Frame decode is stubbed (payload slice stands
+    in for the decoded frame); the row-explosion plumbing — the part that
+    matters for block sizing at scale — is real."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        media_ids, frame_idx, ts_ms, blobs = [], [], [], []
+        for mid, kind, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video" or dur <= 0:
+                continue
+            n = min(max_frames, max(1, int(dur / 1000 * fps_target)))
+            step = dur / n
+            for i in range(n):
+                media_ids.append(mid)
+                frame_idx.append(i)
+                ts_ms.append(int(i * step))
+                # stub "decoded frame": deterministic payload slice
+                a = (i * 37) % max(1, len(payload))
+                blobs.append(payload[a : a + 64])
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "ts_ms": pa.array(ts_ms, pa.int32()),
+                "frame": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=64)
+
+
 def media_size_stats(ds: rd.Dataset) -> rd.Dataset:
     """Pure-Arrow metadata aggregation (no payload touch): per kind,
     count + total payload bytes. Column pruning means the payload column

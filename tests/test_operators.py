@@ -201,3 +201,24 @@ def test_ivf_topk_recall(ray_session):
     hits = len(merged)
     total = len(exact)
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_media_resize_and_frames(ray_session):
+    from rdf_canon_ray.pipelines import corpus
+
+    rz = corpus.media_resized(SF).to_pandas()
+    assert len(rz) == 256
+    img = rz[rz["kind"] == "image"]
+    assert img["resized"].all()
+    assert img["payload"].map(len).eq(64 * 64).all()
+    assert (~rz[rz["kind"] != "image"]["resized"]).all()
+
+    fr = corpus.media_frames(SF).to_pandas()
+    assert len(fr) > 0
+    # ≤ 8 frames per video, deterministic across runs
+    per = fr.groupby("media_id").size()
+    assert per.le(8).all()
+    fr2 = corpus.media_frames(SF).to_pandas()
+    a = fr.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = fr2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert a.equals(b)
