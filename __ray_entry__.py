@@ -214,7 +214,7 @@ FROM events
 GROUP BY user_id, event_type, date_trunc('hour', ts)
 """,
         "docs_by_source": """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,
         "orders_by_nation": """
