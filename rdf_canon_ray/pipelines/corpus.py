@@ -10,7 +10,6 @@ import os
 
 import numpy as np
 import pyarrow.parquet as pq
-import ray
 import ray.data as rd
 
 from ..stages import dedup, multimodal, similarity, text
@@ -20,13 +19,6 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-
-
-def _texts_ref(sf_dir: str):
-    t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
 
 
 def dedup_exact(sf_dir: str) -> rd.Dataset:
@@ -58,9 +50,7 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
 
 
 def minhash_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
-    return dedup.minhash_lsh_pairs(
-        _docs(sf_dir), threshold=threshold, texts_ref=_texts_ref(sf_dir)
-    )
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=threshold)
 
 
 def minhash_groups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
@@ -79,7 +69,6 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         shingle_k=3,
         shingle_mode="word",
         threshold=threshold,
-        texts_ref=_texts_ref(sf_dir),
     )
 
 

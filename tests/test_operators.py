@@ -32,7 +32,6 @@ def test_minhash_finds_planted_dups(ray_session, docs_df):
     """MinHash-LSH recovers exactly the brute-force jaccard≥0.8 pairs."""
     import itertools
 
-    import ray
     import ray.data as rd
 
     from rdf_canon_ray.stages.dedup import minhash_lsh_pairs
@@ -52,7 +51,6 @@ def test_minhash_finds_planted_dups(ray_session, docs_df):
     got = minhash_lsh_pairs(
         rd.from_pandas(docs_df[["doc_id", "text"]]),
         threshold=0.8,
-        texts_ref=ray.put(texts),
     ).to_pandas()
     got_pairs = set(zip(got["id_a"], got["id_b"]))
     assert got_pairs == truth
@@ -71,6 +69,35 @@ def test_dup_groups(ray_session):
     by = out.set_index("doc_id")["rep_id"]
     assert by[1] == by[2] == by[3] == 1
     assert by[10] == by[11] == 10
+
+
+def test_degenerate_bucket_drop_is_reported(ray_session):
+    """Candidate caps on degenerate LSH buckets must report their drop
+    count through the metrics channel, never silently."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import minhash_lsh_pairs
+    from rdf_canon_ray.state import metrics
+
+    metrics.reset()
+    n = 250  # one LSH bucket of 250 identical docs > bucket_cap=200
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n), "text": ["same text repeated here"] * n}
+    )
+    out = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.8).to_pandas()
+    assert len(out) > 0  # surviving candidates still verified
+    counters = metrics.read()
+    assert counters.get("minhash_lsh_candidates_dropped", 0) > 0
+
+
+def test_simhash_rejects_unguaranteed_hamming(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import simhash_pairs
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["x"]})
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(rd.from_pandas(df), max_hamming=5)
 
 
 def test_simhash_identical_texts_zero_hamming(ray_session):
