@@ -114,26 +114,59 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     )
 
 
+MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256.parquet"
+
+
+def media_corpus_parquet(path: str = MEDIA_PARQUET) -> str:
+    """Persist the deterministic synthetic media corpus so media queries
+    and their DuckDB oracles read the SAME parquet rows."""
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(multimodal.synth_media_table(256), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _media_ds() -> rd.Dataset:
+    return rd.read_parquet(media_corpus_parquet())
+
+
 def media_feature_table(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing demo over the deterministic synthetic media
     corpus (decode is stubbed; see stages.multimodal)."""
-    ds = rd.from_arrow(multimodal.synth_media_table(256))
-    return multimodal.media_features(ds)
+    return multimodal.media_features(_media_ds())
 
 
 def media_resized(sf_dir: str) -> rd.Dataset:
     """Image resize stage over the synthetic media corpus (stub decode,
     real actor plumbing)."""
-    ds = rd.from_arrow(multimodal.synth_media_table(256))
-    return multimodal.resize_images(ds)
+    return multimodal.resize_images(_media_ds())
 
 
 def media_frames(sf_dir: str) -> rd.Dataset:
-    """Video frame sampling: one row per sampled frame (1 fps, ≤8)."""
-    ds = rd.from_arrow(multimodal.synth_media_table(256))
-    return multimodal.sample_frames(ds)
+    """Video frame sampling projected to its oracle-checkable view: one
+    row per sampled frame with the frame payload length (the raw frame
+    bytes stay available via ``stages.multimodal.sample_frames``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    frames = multimodal.sample_frames(_media_ds())
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "ts_ms": batch["ts_ms"],
+                "frame_len": pc.cast(
+                    pc.binary_length(batch["frame"]), pa.int64()
+                ),
+            }
+        )
+
+    return frames.map_batches(project, batch_format="pyarrow", batch_size=4096)
 
 
 def media_stats(sf_dir: str) -> rd.Dataset:
-    ds = rd.from_arrow(multimodal.synth_media_table(256))
-    return multimodal.media_size_stats(ds)
+    return multimodal.media_size_stats(_media_ds())

@@ -120,6 +120,56 @@ def canonical_labels_dataset(
     return graphs.map_batches(explode, batch_format="pandas")
 
 
+def canonical_sizes(sf_dir: str) -> rd.Dataset:
+    """Relational-invariant view of the flagship output: per graph, the
+    quad/bnode counts and canonicalization status.  Both counts derive
+    from the base tables (quads = 14 + 7·lineitems + 2·distinct tool
+    texts; bnodes = 3 + distinct tool texts), so DuckDB can oracle-check
+    the whole flagship assembly without reimplementing RDFC-1.0."""
+    import pandas as pd
+
+    graphs = canonical_graphs_dataset(sf_dir)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["graph_id", "n_quads", "n_bnodes", "status"]]
+
+    return graphs.map_batches(project, batch_format="pandas", batch_size=8192)
+
+
+def label_invariants(sf_dir: str) -> rd.Dataset:
+    """Per-graph invariants of the issued-label maps (``issue*`` API):
+    label count equals the graph's blank-node count (derivable from base
+    tables), every canonical label matches ``c14n<i>``, and the issued
+    set is exactly ``{c14n0..c14n(n-1)}`` (``seq_ok``)."""
+    import re
+
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    labels = canonical_labels_dataset(sf_dir)
+    pat = re.compile(r"^c14n\d+$")
+
+    def per_graph(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = {"conv_id": [], "n_labels": [], "n_c14n": [], "seq_ok": []}
+        for gid, sub in bucket.groupby("graph_id", sort=False):
+            canon = sub["canon_label"].tolist()
+            n = len(canon)
+            out["conv_id"].append(gid)
+            out["n_labels"].append(n)
+            out["n_c14n"].append(sum(1 for c in canon if pat.match(c)))
+            out["seq_ok"].append(set(canon) == {f"c14n{i}" for i in range(n)})
+        df = pd.DataFrame(out)
+        df["n_labels"] = df["n_labels"].astype("int64")
+        df["n_c14n"] = df["n_c14n"].astype("int64")
+        df["seq_ok"] = df["seq_ok"].astype(bool)
+        return df
+
+    return bucketed_map_groups(
+        labels, ["graph_id"], per_graph, num_buckets=default_buckets()
+    )
+
+
 def distinct_links_dataset(
     sf_dir: str, transcripts: Optional[rd.Dataset] = None
 ) -> rd.Dataset:

@@ -196,6 +196,24 @@ def test_media_features_stub(ray_session):
     assert a == b
 
 
+def test_earl_report(ray_session, tmp_path):
+    """EARL/Turtle conformance report (reference parity:
+    /root/reference/src/lib.rs:206-272): 86 assertions, all passed."""
+    from rdf_canon_ray.pipelines.conformance import (
+        run_conformance,
+        write_earl_report,
+    )
+
+    results = run_conformance().to_pandas()
+    path = write_earl_report(results, str(tmp_path / "earl.ttl"))
+    doc = open(path, encoding="utf-8").read()
+    assert doc.count("earl:passed") == 86
+    assert doc.count("earl:failed") == 0
+    assert doc.count("a               earl:Assertion") == 86
+    assert "w3c.github.io/rdf-canon/tests/manifest#test020c" in doc
+    assert doc.startswith("@prefix dc:")
+
+
 def test_nquads_source_roundtrip(ray_session, tmp_path):
     from rdf_canon_ray.sources.nquads import read_nquads
 
