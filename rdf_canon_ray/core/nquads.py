@@ -63,7 +63,12 @@ _STMT_RE = re.compile(
 
 
 def parse_line(line: str) -> Quad | None:
-    """Parse one N-Quads statement line; None for blank/comment lines."""
+    """Parse one N-Quads statement line; None for blank/comment lines.
+
+    A trailing ``\\r`` is accepted (CRLF files are legal per the W3C
+    EOL production)."""
+    if line.endswith("\r"):
+        line = line[:-1]
     stripped = line.strip()
     if not stripped or stripped.startswith("#"):
         return None
@@ -101,7 +106,8 @@ def parse_line(line: str) -> Quad | None:
 
 def parse(text: str) -> List[Quad]:
     quads: List[Quad] = []
-    for line in text.split("\n"):
+    # W3C EOL production: \n, \r\n and bare \r all end a statement
+    for line in re.split(r"\r\n|\n|\r", text):
         q = parse_line(line)
         if q is not None:
             quads.append(q)

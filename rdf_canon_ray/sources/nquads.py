@@ -105,6 +105,20 @@ def quads_to_tuples(batch: pd.DataFrame) -> list:
     ]
 
 
+def _part_name(first: str, last: str) -> str:
+    """Collision-free, order-preserving part filename: lowercase-hex of
+    the first key's UTF-8 bytes (byte order == hex order) truncated to a
+    filesystem-safe length, plus a hash of the raw first/last keys so
+    distinct blocks can never share a name."""
+    import hashlib
+
+    prefix = first.encode("utf-8").hex()[:96]
+    tag = hashlib.md5(
+        first.encode("utf-8") + b"\x00" + last.encode("utf-8")
+    ).hexdigest()[:8]
+    return f"part-{prefix}-{tag}.nq"
+
+
 def write_canonical_nquads(
     graphs_ds: rd.Dataset,
     out_dir: str,
@@ -114,27 +128,39 @@ def write_canonical_nquads(
     """Canonical-graphs table → ordered text part files under ``out_dir``.
 
     Deterministic layout regardless of block order: global sort on the
-    graph key, then each block appends its docs to one part file named
-    ``part-<first_key>``; lexicographic listing reproduces the corpus
-    order."""
+    graph key, then each block writes one part file named by the
+    collision-free, order-preserving hex encoding of its first key
+    (byte-lexicographic order of keys == lexicographic order of hex
+    names), suffixed with a hash of the raw first/last keys so two
+    distinct keys can never map to one filename.  An ``_index.json``
+    manifest records the authoritative part order; the returned list is
+    in corpus order."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"path": [], "rows": []})
+            return pd.DataFrame({"path": [], "rows": [], "first_key": []})
         first = str(batch[key_column].iloc[0])
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in first)
-        path = os.path.join(out_dir, f"part-{safe}.nq")
+        last = str(batch[key_column].iloc[-1])
+        path = os.path.join(out_dir, _part_name(first, last))
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             for doc in batch[doc_column]:
                 f.write(doc)
         os.replace(tmp, path)
-        return pd.DataFrame({"path": [path], "rows": [len(batch)]})
+        return pd.DataFrame(
+            {"path": [path], "rows": [len(batch)], "first_key": [first]}
+        )
 
     parts = (
         graphs_ds.sort(key_column)
         .map_batches(write_block, batch_format="pandas")
         .to_pandas()
+        .sort_values("first_key")  # authoritative order: the key itself
     )
-    return sorted(parts["path"].tolist())
+    ordered = parts["path"].tolist()
+    with open(os.path.join(out_dir, "_index.json"), "w") as f:
+        json.dump({"parts": [os.path.basename(p) for p in ordered]}, f)
+    return ordered

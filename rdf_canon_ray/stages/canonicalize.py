@@ -151,7 +151,9 @@ def canonicalize_one(
     if structure:
         quads = add_structure_quads(quads, graph_id)
     n_bnodes = len(
-        {q[1] for q in quads if q[0] == BNODE} | {q[4] for q in quads if q[3] == BNODE}
+        {q[1] for q in quads if q[0] == BNODE}
+        | {q[4] for q in quads if q[3] == BNODE}
+        | {q[8] for q in quads if q[7] == BNODE}  # bnode graph names
     )
     try:
         doc, label_map = canonicalize_quads_with_map(

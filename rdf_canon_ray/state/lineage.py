@@ -29,15 +29,36 @@ import ray.data as rd
 from ..stages.shuffle import add_bucket
 
 
-def completed_buckets(out_root: str) -> Set[int]:
+def completed_buckets(
+    out_root: str,
+    num_buckets: int | None = None,
+    input_tag: str | None = None,
+) -> Set[int]:
+    """Buckets with a ``_SUCCESS`` marker whose manifest matches the
+    current run.  When ``num_buckets``/``input_tag`` are given, a
+    partition written under a different bucket count or input is NOT
+    treated as complete (it would silently mix stale rows into the
+    output) — it gets rewritten instead."""
     done = set()
     if not os.path.isdir(out_root):
         return done
     for name in os.listdir(out_root):
-        if name.startswith("bucket=") and os.path.exists(
-            os.path.join(out_root, name, "_SUCCESS")
+        part_dir = os.path.join(out_root, name)
+        if not name.startswith("bucket=") or not os.path.exists(
+            os.path.join(part_dir, "_SUCCESS")
         ):
-            done.add(int(name.split("=", 1)[1]))
+            continue
+        if num_buckets is not None or input_tag is not None:
+            try:
+                with open(os.path.join(part_dir, "manifest.json")) as f:
+                    manifest = json.load(f)
+            except (OSError, ValueError):
+                continue  # unreadable lineage → rewrite
+            if num_buckets is not None and manifest.get("num_buckets") != num_buckets:
+                continue
+            if input_tag is not None and manifest.get("input") != input_tag:
+                continue
+        done.add(int(name.split("=", 1)[1]))
     return done
 
 
@@ -67,7 +88,7 @@ def resumable_bucket_run(
     previously-completed partitions (status="skipped")."""
     keys = list(keys)
     os.makedirs(out_root, exist_ok=True)
-    done = completed_buckets(out_root)
+    done = completed_buckets(out_root, num_buckets=num_buckets, input_tag=input_tag)
 
     def prepare(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:

@@ -94,3 +94,26 @@ def test_canonicalize_invariant_under_relabel_and_shuffle(rng):
     shuffled = [rn(q) for q in quads]
     rng.shuffle(shuffled)
     assert canonicalize(shuffled) == base
+
+
+def test_crlf_and_cr_line_endings():
+    """CRLF / bare-CR files are legal per the W3C EOL production."""
+    from rdf_canon_ray.core import nquads
+
+    q = nquads.parse("<urn:s> <urn:p> <urn:o> .\r\n")
+    assert len(q) == 1 and q[0][1] == "urn:s"
+    q2 = nquads.parse("<urn:s> <urn:p> <urn:o> .\r<urn:a> <urn:b> <urn:c> .")
+    assert len(q2) == 2
+    assert nquads.parse_line("<urn:s> <urn:p> <urn:o> .\r")[2] == "urn:p"
+
+
+def test_n_bnodes_counts_graph_name_bnodes():
+    from rdf_canon_ray.core.terms import BNODE, IRI, LITERAL
+    from rdf_canon_ray.stages.canonicalize import canonicalize_one
+
+    quads = [
+        (BNODE, "b0", "urn:p", LITERAL, "v", "", "", BNODE, "g0"),
+    ]
+    row = canonicalize_one("g", quads)
+    assert row["n_bnodes"] == 2  # subject bnode + graph-name bnode
+    assert row["status"] == "ok"

@@ -47,3 +47,22 @@ def test_resume_skips_completed_partitions(ray_session, tmp_path):
     a = got.sort_values("graph_id")["canon_nquads"].reset_index(drop=True)
     b = expect.sort_values("graph_id")["canon_nquads"].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_stale_lineage_not_skipped(ray_session, tmp_path):
+    """Partitions from a different bucket count or input are rewritten,
+    not silently mixed into the output."""
+    from rdf_canon_ray.pipelines import kg
+    from rdf_canon_ray.state.lineage import completed_buckets
+
+    out = str(tmp_path / "kgout2")
+    kg.run_kg_resumable(SF, out, num_buckets=4)
+    root = os.path.join(out, "graphs")
+    assert completed_buckets(root, num_buckets=4, input_tag=SF) == set(range(4))
+    # different bucket count or input → stale, nothing skippable
+    assert completed_buckets(root, num_buckets=8, input_tag=SF) == set()
+    assert completed_buckets(root, num_buckets=4, input_tag="/other") == set()
+
+    # a rerun under a different bucket count rewrites every partition
+    summary = kg.run_kg_resumable(SF, out, num_buckets=8)
+    assert (summary["status"] == "written").all()

@@ -57,3 +57,35 @@ def test_read_nquads_graph_ids(ray_session):
     assert "" in set(df["graph_id"])
     named = {g for g in df["graph_id"] if g}
     assert all(g.startswith("<") for g in named)
+
+
+def test_sink_names_collision_free(ray_session, tmp_path):
+    """Part names must be collision-free and order-preserving for keys
+    whose sanitized forms would collide ('<urn:a b>' vs '<urn:a_b>'),
+    and the written corpus must reproduce key order."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_canon_ray.sources.nquads import _part_name, write_canonical_nquads
+
+    a = _part_name("<urn:a b>", "<urn:a b>")
+    b = _part_name("<urn:a_b>", "<urn:a_b>")
+    assert a != b
+    assert (a < b) == ("<urn:a b>" < "<urn:a_b>")  # hex prefix keeps order
+    # same first key, different last key → still distinct names
+    assert _part_name("k", "k1") != _part_name("k", "k2")
+
+    df = pd.DataFrame(
+        {
+            "graph_id": ["<urn:a_b>", "<urn:a b>"],
+            "canon_nquads": ["doc-underscore\n", "doc-space\n"],
+        }
+    )
+    out_dir = str(tmp_path / "collide")
+    paths = write_canonical_nquads(rd.from_pandas(df), out_dir)
+    whole = "".join(open(p, encoding="utf-8").read() for p in paths)
+    assert whole == "doc-space\ndoc-underscore\n"  # '<urn:a b>' < '<urn:a_b>'
+    idx = json.load(open(f"{out_dir}/_index.json"))
+    assert idx["parts"] == [os.path.basename(p) for p in paths]
