@@ -313,6 +313,38 @@ class JaccardVerifier:
         return out[out["jaccard"] >= self.threshold]
 
 
+# Stateless-task stages with process-level singleton caches: tasks scale
+# to every free core instantly, while autoscaling actor pools ramp too
+# slowly for seconds-long stages (several pools in one DAG starve each
+# other's reservations).  Construction is cheap; the cache just avoids
+# re-deriving the minhash coefficient arrays per batch.
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, **kw):
+    key = (cls.__name__, tuple(sorted(kw.items())))
+    inst = _STAGE_CACHE.get(key)
+    if inst is None:
+        inst = _STAGE_CACHE[key] = cls(**kw)
+    return inst
+
+
+def _minhash_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
+    return _cached_stage(MinHasher, **kw)(batch)
+
+
+def _bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
+    return _cached_stage(BandEmitter, **kw)(batch)
+
+
+def _verify_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
+    return _cached_stage(JaccardVerifier, **kw)(batch)
+
+
+def _simhash_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
+    return _cached_stage(SimHasher, **kw)(batch)
+
+
 def _min_band_matches(threshold: float, n_bands: int, rows_per_band: int) -> int:
     """Largest safe band-match prefilter: require m ≥ 2 only when a true
     pair at the threshold collides per band with probability high enough
@@ -337,42 +369,42 @@ def minhash_lsh_pairs(
 ) -> rd.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Fully distributed: signatures and banding are map-only, candidate
-    pairs aggregate their band-match count through a bucketed shuffle,
-    and exact verification joins both texts onto the surviving pairs
-    with partitioned hash joins.  No driver-side materialization and no
-    full-corpus broadcast anywhere on the path.
+    Fully distributed in three bucketed exchanges: (1) band buckets →
+    candidate-pair partials, (2) key id_a — band-match sum, m_min filter
+    and text_a attach fused into one exchange (pair partials and the
+    text table co-bucketed on the same key), (3) key id_b — text_b
+    attach + exact-Jaccard verification inside the bucket.  No
+    driver-side materialization and no full-corpus broadcast anywhere on
+    the path; the text table is shuffled once per text-bearing exchange
+    (the inherent cost of exact verification at corpus scale).
 
     ``texts`` defaults to ``ds`` itself (must expose id_col/text_col).
+    Assumes non-negative integer doc ids (negative values are reserved
+    as side markers inside the fused exchanges).
     """
-    from .joins import hash_join
-
     metrics.ensure()  # driver-owned counter actor for drop reporting
     if texts is None:
         texts = ds
+    import functools
+
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "id_col": id_col,
-            "text_col": text_col,
-            "n_perm": n_perm,
-            "shingle_k": shingle_k,
-            "shingle_mode": shingle_mode,
-        },
+        functools.partial(
+            _minhash_batch,
+            id_col=id_col,
+            text_col=text_col,
+            n_perm=n_perm,
+            shingle_k=shingle_k,
+            shingle_mode=shingle_mode,
+        ),
         batch_format="pandas",
-        batch_size=1024,
-        concurrency=(1, 8),
+        batch_size=256,  # signature compute dominates: many small tasks
     )
     bands = sigs.map_batches(
-        BandEmitter,
-        fn_constructor_kwargs={
-            "id_col": id_col,
-            "n_bands": n_bands,
-            "n_perm": n_perm,
-        },
+        functools.partial(
+            _bands_batch, id_col=id_col, n_bands=n_bands, n_perm=n_perm
+        ),
         batch_format="pandas",
         batch_size=1024,
-        concurrency=(1, 4),
     )
     partial = bucketed_map_groups(
         bands,
@@ -380,43 +412,107 @@ def minhash_lsh_pairs(
         lambda bucket: _pairs_from_buckets(bucket, id_col),
         num_buckets=num_buckets,
     )
-    candidates = grouped_agg(
-        partial, ["id_a", "id_b"], {"m": "sum"}, num_buckets=num_buckets
-    )
     m_min = _min_band_matches(threshold, n_bands, n_perm // n_bands)
-    if m_min > 1:
-        candidates = candidates.map_batches(
-            lambda b: b[b["m"] >= m_min],
-            batch_format="pandas",
-            batch_size=32768,
-        )
-    candidates = candidates.map_batches(
-        lambda b: b[["id_a", "id_b"]], batch_format="pandas", batch_size=32768
-    )
 
-    def side(suffix: str) -> rd.Dataset:
-        def prep(batch: pd.DataFrame) -> pd.DataFrame:
+    # Exchange 2 (key = id_a): band-match sum + m_min filter + text_a
+    # attach happen in ONE bucketed exchange — pair partials and the
+    # text table are co-bucketed on the same key, so no separate
+    # grouped_agg shuffle and no extra hash-join exchange.
+    def text_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch[id_col].to_numpy(),
+                "id_b": np.zeros(len(batch), np.int64),
+                "m": np.full(len(batch), -1, np.int64),  # marks text rows
+                "text_a": batch[text_col].to_numpy(dtype=object),
+            }
+        )
+
+    def pair_rows_a(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["id_a"].to_numpy(),
+                "id_b": batch["id_b"].to_numpy(),
+                "m": batch["m"].to_numpy(),
+                "text_a": np.full(len(batch), "", dtype=object),
+            }
+        )
+
+    mixed_a = partial.map_batches(
+        pair_rows_a, batch_format="pandas", batch_size=32768
+    ).union(texts.map_batches(text_rows, batch_format="pandas", batch_size=8192))
+
+    def sum_filter_attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_text = bucket["m"].to_numpy() < 0
+        t = bucket.loc[is_text]
+        p = bucket.loc[~is_text]
+        if len(p) == 0:
             return pd.DataFrame(
                 {
-                    f"id_{suffix}": batch[id_col].to_numpy(),
-                    f"text_{suffix}": batch[text_col].to_numpy(),
+                    "k": pd.Series([], dtype="int64"),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "text_a": pd.Series([], dtype=object),
                 }
             )
+        g = (
+            p.groupby(["k", "id_b"], sort=False)["m"].sum().reset_index()
+        )
+        g = g[g["m"] >= m_min]
+        lookup = pd.Series(t["text_a"].to_numpy(), index=t["k"].to_numpy())
+        return pd.DataFrame(
+            {
+                "k": g["id_b"].to_numpy(),  # next exchange keys on id_b
+                "id_a": g["k"].to_numpy(),
+                "text_a": g["k"].map(lookup).to_numpy(dtype=object),
+            }
+        )
 
-        return texts.map_batches(prep, batch_format="pandas", batch_size=8192)
+    with_a = bucketed_map_groups(
+        mixed_a, ["k"], sum_filter_attach, num_buckets=num_buckets
+    )
 
-    with_a = hash_join(candidates, side("a"), on="id_a", num_buckets=num_buckets)
-    with_b = hash_join(with_a, side("b"), on="id_b", num_buckets=num_buckets)
-    return with_b.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={
-            "shingle_k": shingle_k,
-            "shingle_mode": shingle_mode,
-            "threshold": threshold,
-        },
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=(1, 8),
+    # Exchange 3 (key = id_b): attach text_b and verify inside the bucket
+    def text_rows_b(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch[id_col].to_numpy(),
+                "id_a": np.full(len(batch), -1, np.int64),  # marks text rows
+                "text_a": batch[text_col].to_numpy(dtype=object),
+            }
+        )
+
+    mixed_b = with_a.union(
+        texts.map_batches(text_rows_b, batch_format="pandas", batch_size=8192)
+    )
+    verifier_kw = dict(
+        shingle_k=shingle_k, shingle_mode=shingle_mode, threshold=threshold
+    )
+
+    def attach_verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_text = bucket["id_a"].to_numpy() < 0
+        t = bucket.loc[is_text]
+        p = bucket.loc[~is_text]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype=float),
+                }
+            )
+        lookup = pd.Series(t["text_a"].to_numpy(), index=t["k"].to_numpy())
+        joined = pd.DataFrame(
+            {
+                "id_a": p["id_a"].to_numpy(),
+                "id_b": p["k"].to_numpy(),
+                "text_a": p["text_a"].to_numpy(dtype=object),
+                "text_b": p["k"].map(lookup).to_numpy(dtype=object),
+            }
+        )
+        return _cached_stage(JaccardVerifier, **verifier_kw)(joined)
+
+    return bucketed_map_groups(
+        mixed_b, ["k"], attach_verify, num_buckets=num_buckets
     )
 
 
@@ -597,13 +693,13 @@ def simhash_pairs(
             f"max_hamming={max_hamming}: 4x16-bit band blocking only "
             "guarantees recall for hamming <= 3"
         )
+    import functools
+
     metrics.ensure()
     sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        functools.partial(_simhash_batch, id_col=id_col, text_col=text_col),
         batch_format="pandas",
-        batch_size=1024,
-        concurrency=(1, 8),
+        batch_size=512,
     )
 
     def emit_bands(batch: pd.DataFrame) -> pd.DataFrame:

@@ -23,6 +23,7 @@ from typing import Callable, Dict, List, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 DEFAULT_NUM_BUCKETS = 64  # static fallback; call sites may pass
@@ -51,22 +52,43 @@ def bucketed_map_groups(
     ``_bucket`` column) and returns its combined result."""
     keys = list(keys)
 
-    def prepare(batch: pd.DataFrame) -> pd.DataFrame:
-        if local_combine is not None:
-            batch = local_combine(batch)
-        if len(batch) == 0:
-            out = batch.copy()
-            out["_bucket"] = pd.Series([], dtype=np.int32)
-            return out
-        return add_bucket(batch, keys, num_buckets)
-
     def run_bucket(group: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(group.drop(columns=["_bucket"]))
 
-    return (
-        ds.map_batches(prepare, batch_format="pandas", batch_size=batch_size)
-        .groupby("_bucket")
-        .map_groups(run_bucket, batch_format="pandas")
+    if local_combine is None:
+        # Zero-copy pre-shuffle path: only the key columns cross into
+        # pandas for hashing; every other column stays Arrow through the
+        # exchange (no full-table pandas round trip before the sort).
+        def prepare(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    "_bucket", pa.array([], pa.int32())
+                )
+            h = pd.util.hash_pandas_object(
+                batch.select(keys).to_pandas(), index=False
+            ).to_numpy()
+            b = (h % np.uint64(num_buckets)).astype(np.int32)
+            return batch.append_column("_bucket", pa.array(b))
+
+        prepared = ds.map_batches(
+            prepare, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+
+        def prepare_pd(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = local_combine(batch)
+            if len(batch) == 0:
+                out = batch.copy()
+                out["_bucket"] = pd.Series([], dtype=np.int32)
+                return out
+            return add_bucket(batch, keys, num_buckets)
+
+        prepared = ds.map_batches(
+            prepare_pd, batch_format="pandas", batch_size=batch_size
+        )
+
+    return prepared.groupby("_bucket").map_groups(
+        run_bucket, batch_format="pandas"
     )
 
 
