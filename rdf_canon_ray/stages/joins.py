@@ -4,8 +4,12 @@
   merge per batch. No shuffle. The right tool whenever one side fits the
   object store (dimension tables, vocabularies, blocklists).
 * ``hash_join``       — both sides large: bucket rows by key hash, tag
-  the side, exchange once, merge per bucket. The explicit partitioned
-  hash join; skewed keys can be salted by raising ``num_buckets``.
+  the side, exchange once, merge per bucket.  A hot key hashes to ONE
+  bucket no matter how many buckets exist; true skew handling is
+  ``salt > 1`` (replicate the right side across salt sub-buckets and
+  spread the left side's hot-key rows over them) or
+  ``broadcast_threshold`` (automatic broadcast fallback when the right
+  side is small enough to ship whole).
 * ``asof_prev``       — ordered per-key operator (previous row by time):
   bucket by key, sort within bucket, vectorized shift per key. The same
   shape implements merge_asof/range joins (sort + ``pd.merge_asof`` in
@@ -18,6 +22,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
@@ -45,10 +50,32 @@ def hash_join(
     on: Sequence[str] | str,
     how: str = "inner",
     num_buckets: int = 64,
+    salt: int = 1,
+    broadcast_threshold: int | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join: rows from both sides meet in their key's
-    bucket; pandas merge runs per bucket."""
+    bucket; pandas merge runs per bucket.
+
+    Skew handling:
+    * ``salt > 1`` — the right side is replicated once per salt value
+      and the left side's rows are spread over the salts, so a hot
+      key's work lands in up to ``salt`` different buckets instead of
+      one straggler.  Replication duplicates unmatched right rows, so
+      salting is restricted to ``inner``/``left`` joins.
+    * ``broadcast_threshold`` — if the right side has at most this many
+      rows (one cheap count), skip the shuffle entirely and broadcast
+      it (``broadcast_join``).
+    """
     on_cols: List[str] = [on] if isinstance(on, str) else list(on)
+    if salt > 1 and how not in ("inner", "left"):
+        raise ValueError(
+            f"salt>1 replicates the right side; only inner/left joins "
+            f"keep their semantics (got how={how!r})"
+        )
+    if broadcast_threshold is not None:
+        if right.count() <= broadcast_threshold:
+            return broadcast_join(ds=left, small_df=right.to_pandas(),
+                                  on=on_cols, how=how)
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]
     overlap = (set(left_cols) & set(right_cols)) - set(on_cols)
@@ -56,29 +83,52 @@ def hash_join(
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
 
     combined = list(
-        dict.fromkeys(on_cols + left_cols + right_cols + ["_side"])
+        dict.fromkeys(on_cols + left_cols + right_cols + ["_side", "_salt"])
     )
 
-    def tag(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["_side"] = side
-            # union needs one schema: absent columns ride as nulls
-            # (integer columns widen to nullable through the exchange).
-            return batch.reindex(columns=combined)
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_side"] = "l"
+        # positional spread is enough: the salt only routes rows, the
+        # merge result is salt-invariant
+        batch["_salt"] = (
+            np.arange(len(batch)) % salt if salt > 1 else 0
+        )
+        # union needs one schema: absent columns ride as nulls
+        # (integer columns widen to nullable through the exchange).
+        return batch.reindex(columns=combined)
 
-        return fn
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_side"] = "r"
+        if salt > 1:
+            batch = pd.concat(
+                [batch.assign(_salt=s) for s in range(salt)],
+                ignore_index=True,
+            )
+        else:
+            batch["_salt"] = 0
+        return batch.reindex(columns=combined)
 
-    tagged = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas")
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
     )
 
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         l = bucket.loc[bucket["_side"] == "l", left_cols]
-        r = bucket.loc[bucket["_side"] == "r", right_cols]
-        return l.merge(r, on=on_cols, how=how)
+        r = bucket.loc[bucket["_side"] == "r", right_cols + ["_salt"]]
+        if salt > 1:
+            # each (key, salt) pair owns exactly one right replica set
+            l = bucket.loc[bucket["_side"] == "l", left_cols + ["_salt"]]
+            merged = l.merge(r, on=on_cols + ["_salt"], how=how)
+            return merged[
+                [c for c in merged.columns if c != "_salt"]
+            ]
+        return l.merge(r.drop(columns=["_salt"]), on=on_cols, how=how)
 
-    return bucketed_map_groups(tagged, on_cols, merge_bucket, num_buckets)
+    return bucketed_map_groups(
+        tagged, on_cols + ["_salt"], merge_bucket, num_buckets
+    )
 
 
 def asof_prev(

@@ -46,3 +46,70 @@ def test_skewed_corpus_canonicalizes(ray_session):
     a = out.sort_values("graph_id")["canon_nquads"].reset_index(drop=True)
     b = out2.sort_values("graph_id")["canon_nquads"].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    """A hot key (20k rows on one key) joined through salt=8 must give
+    exactly the unsalted result — salting only routes work."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import hash_join
+
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate(
+                [np.zeros(20000, np.int64), np.arange(1, 1001)]
+            ),
+            "v": np.arange(21000),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(0, 1001), "name": [f"n{i}" for i in range(1001)]})
+    l_ds, r_ds = rd.from_pandas(left), rd.from_pandas(right)
+
+    plain = (
+        hash_join(l_ds, r_ds, on="k", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        hash_join(l_ds, r_ds, on="k", num_buckets=8, salt=8)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(plain) == 21000
+    assert salted[["k", "v", "name"]].equals(plain[["k", "v", "name"]])
+
+    # left join keeps unmatched left rows exactly once under salting
+    left2 = pd.DataFrame({"k": [0, 0, 9999], "v": [1, 2, 3]})
+    lj = hash_join(
+        rd.from_pandas(left2), r_ds, on="k", how="left", salt=4, num_buckets=4
+    ).to_pandas()
+    assert len(lj) == 3
+    assert lj[lj["k"] == 9999]["name"].isna().all()
+
+    # replication breaks right/outer semantics → rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt"):
+        hash_join(l_ds, r_ds, on="k", how="outer", salt=2)
+
+
+def test_hash_join_broadcast_fallback(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 4], "w": ["a", "b"]})
+    out = hash_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        broadcast_threshold=10,
+    ).to_pandas()
+    assert sorted(out["k"]) == [2, 4]
