@@ -122,11 +122,13 @@ def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
             batch["revenue"] = batch["revenue"].round(4)
             return batch
 
+    from ..util import default_pool
+
     named = merged.map_batches(
         AttachName,
         fn_constructor_kwargs={"ref": name_ref},
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=default_pool(cap=8),
     )
     top = named.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
     return top

@@ -13,6 +13,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..stages import dedup, multimodal, similarity, text
+from ..util import default_pool
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -27,25 +28,25 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
 
 def token_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
-        text.TokenStats, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        text.TokenStats, batch_format="pandas", batch_size=4096, concurrency=default_pool()
     )
 
 
 def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
-        text.QualityScore, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        text.QualityScore, batch_format="pandas", batch_size=4096, concurrency=default_pool()
     )
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
-        text.LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        text.LangId, batch_format="pandas", batch_size=4096, concurrency=default_pool()
     )
 
 
 def fingerprints(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
-        text.Fingerprint, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        text.Fingerprint, batch_format="pandas", batch_size=4096, concurrency=default_pool()
     )
 
 

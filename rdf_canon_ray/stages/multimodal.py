@@ -15,11 +15,19 @@ batch path never copies payload bytes through pandas object boxing
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from ..util import default_pool
+
+try:  # real decoder when available; this container ships none
+    from PIL import Image as _PIL_Image  # pragma: no cover
+except ImportError:
+    _PIL_Image = None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -51,9 +59,22 @@ def synth_media_table(n: int = 256, seed: int = 5) -> pa.Table:
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: a real pipeline calls PIL.Image.open here.  The fake
-    is deterministic in the payload bytes so tests can assert stability.
-    """
+    """Image decode → 8×8×3 float thumbnail.
+
+    When PIL is importable the payload is decoded for real (open →
+    RGB → 8×8 resize); in this container (no decoder libs) the STUB
+    path derives a deterministic fake thumbnail from the payload bytes
+    so tests can assert stability.  The synthetic corpus carries random
+    bytes, so even with PIL present undecodable payloads fall back to
+    the stub rather than failing the stage."""
+    if _PIL_Image is not None:  # pragma: no cover - PIL absent here
+        try:
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(
+                img.resize((8, 8)), dtype=np.float32
+            )
+        except Exception:
+            pass  # undecodable bytes → deterministic fallback below
     h = hashlib.sha256(payload).digest()
     base = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
     return np.resize(base, (8, 8, 3))  # fake 8x8 RGB "thumbnail"
@@ -103,7 +124,7 @@ def media_features(ds: rd.Dataset, feature_dim: int = 64) -> rd.Dataset:
         fn_constructor_kwargs={"feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=64,          # large binary rows → small batches
-        concurrency=(1, 4),
+        concurrency=default_pool(cap=8),
         num_cpus=1,
     )
 
@@ -119,9 +140,17 @@ class ImageResizer:
         # Real version: initialize codec/threadpool once per actor.
 
     def _resize_stub(self, payload: bytes) -> bytes:
-        # Deterministic fake: resample payload bytes to w*h via modular
-        # indexing (stands in for decoded-pixels → resize → re-encode).
+        # Real path when PIL is importable: decode → grayscale resize →
+        # raw w*h bytes (same output contract as the stub). Otherwise a
+        # deterministic fake: resample payload bytes to w*h (stands in
+        # for decoded-pixels → resize → re-encode).
         n = self.width * self.height
+        if _PIL_Image is not None:  # pragma: no cover - PIL absent here
+            try:
+                img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+                return img.resize((self.width, self.height)).tobytes()
+            except Exception:
+                pass  # undecodable bytes → deterministic fallback
         if not payload:
             return b"\x00" * n
         reps = (n // len(payload)) + 1
@@ -156,7 +185,7 @@ def resize_images(ds: rd.Dataset, width: int = 64, height: int = 64) -> rd.Datas
         fn_constructor_kwargs={"width": width, "height": height},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=default_pool(cap=8),
     )
 
 

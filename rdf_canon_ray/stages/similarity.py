@@ -20,6 +20,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..state import metrics
+from ..util import default_pool
 from .shuffle import bucketed_map_groups
 
 
@@ -85,7 +87,7 @@ def cosine_topk(
         },
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -166,7 +168,7 @@ def lsh_cosine_topk(
         },
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def scan_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -276,7 +278,7 @@ def ivf_cosine_topk(
         fn_constructor_kwargs={"cref": cref, "id_col": id_col, "vec_col": vec_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def scan(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -340,9 +342,12 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     seed: int = 7,
     num_buckets: int = 16,
+    bucket_cap: int = 2000,
 ) -> rd.Dataset:
     """Vector near-dup pairs (cosine ≥ threshold) within hyperplane
-    buckets. Output: (id_a, id_b, score)."""
+    buckets. Output: (id_a, id_b, score).  Buckets above ``bucket_cap``
+    are skipped with the dropped pair count reported via metrics."""
+    metrics.ensure()
     # dim probe from schema-less datasets: read one row
     first = ds.take(1)[0]
     dim = len(first[vec_col])
@@ -356,13 +361,18 @@ def embedding_near_dup_pairs(
         },
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         outs = []
+        dropped = 0
         for _, sub in bucket.groupby("bucket", sort=False):
-            if len(sub) < 2 or len(sub) > 2000:
+            if len(sub) < 2:
+                continue
+            if len(sub) > bucket_cap:
+                n = len(sub)
+                dropped += n * (n - 1) // 2
                 continue
             ids = sub[id_col].to_numpy()
             order = np.argsort(ids)
@@ -380,6 +390,7 @@ def embedding_near_dup_pairs(
                     }
                 )
             )
+        metrics.incr("embedding_neardup_pairs_dropped", dropped)
         if not outs:
             return pd.DataFrame(
                 {
