@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": analytics.orders_by_nation,
         "events_prev": analytics.events_prev,
         "orders_automobile": analytics.orders_automobile,
+        "events_sessions": analytics.events_sessions,
+        "top_terms": analytics.top_terms,
+        "quality_filtered": analytics.quality_filtered,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
         "dedup_minhash_pairs": corpus.minhash_pairs,
@@ -186,6 +189,27 @@ SELECT 'conv-' || o_orderkey AS conv_id,
        CAST(3 + COALESCE(d, 0) AS BIGINT) AS n_c14n,
        TRUE AS seq_ok
 FROM orders LEFT JOIN per_order ON o_orderkey = okey
+""",
+        "events_sessions": """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(brk) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS BIGINT) AS session_idx
+FROM e
+""",
+        "top_terms": """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 100
 """,
         "quality_scores": f"""
 WITH q AS (
@@ -295,6 +319,11 @@ SELECT media_id,
 FROM f
 """,
     }
+    extra["quality_filtered"] = (
+        "SELECT doc_id, quality FROM ("
+        + extra["quality_scores"]
+        + ") t WHERE quality >= 0.5"
+    )
     base = {
         "kg_triples": f"""
 WITH {part_resolved},

@@ -265,3 +265,115 @@ def docs_by_source(sf_dir: str) -> rd.Dataset:
     return grouped_agg(
         partials, ["source"], {"n_docs": "sum", "total_chars": "sum"}, num_buckets=4
     )
+
+
+def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
+    """Gap-based sessionization — the streaming-window operator family's
+    stateful member: per user, events ordered by (ts, event_id) start a
+    new session when the gap to the previous event exceeds
+    ``gap_seconds``.  Bucketed by user (all of a user's events meet in
+    one bucket), vectorized diff+cumsum inside the bucket — the same
+    shape scales to billions of events because session state never
+    crosses the user partition key.
+
+    Output: (event_id, user_id, session_idx) with session_idx counting
+    the user's sessions from 0 in time order."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    gap = np.timedelta64(gap_seconds, "s")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        ts = b["ts"].to_numpy()
+        user = b["user_id"].to_numpy()
+        new_user = np.empty(len(b), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        gap_break = np.empty(len(b), dtype=bool)
+        gap_break[0] = False
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap
+        new_session = new_user | gap_break
+        # per-user session index: global cumsum minus the user's base
+        sess = np.cumsum(new_session)
+        base = pd.Series(sess).where(new_user).ffill().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": user,
+                "session_idx": (sess - base).astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(ev, ["user_id"], per_bucket, num_buckets=64)
+
+
+def top_terms(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Corpus term frequency top-k: flat_map words → per-batch
+    value_counts (combiner) → bucketed grouped sum → per-bucket top-k →
+    single tiny final merge.  The full term table never leaves the
+    cluster; only ≤ k rows per bucket reach the final merge."""
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            batch["text"].str.split().explode().value_counts()
+        )
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = grouped_agg(
+        docs.map_batches(explode_count, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"n": "sum"},
+        num_buckets=64,
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    pruned = counts.map_batches(
+        local_topk, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)[["term", "n"]]
+
+    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_k"] = np.zeros(len(batch), np.int8)
+        return out
+
+    return bucketed_map_groups(
+        pruned.map_batches(const_key, batch_format="pandas"),
+        ["_k"],
+        lambda b: final(b.drop(columns=["_k"])),
+        num_buckets=1,
+    )
+
+
+def quality_filtered(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """Quality-gate composition: score every document (QualityScore
+    stage) and keep docs at or above the threshold — the standard
+    training-data filter step, streaming end to end.
+
+    Output: (doc_id, quality)."""
+    from ..pipelines.corpus import quality_scores
+
+    scored = quality_scores(sf_dir)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[
+            batch["quality"] >= threshold, ["doc_id", "quality"]
+        ]
+
+    return scored.map_batches(keep, batch_format="pandas", batch_size=8192)

@@ -267,3 +267,32 @@ def test_media_resize_and_frames(ray_session):
     a = fr.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = fr2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_events_sessions_gap_semantics(ray_session, tmp_path):
+    """Gap-based sessionization: a >30min gap starts a new session;
+    users never share sessions."""
+    import pandas as pd
+
+    from rdf_canon_ray.pipelines import analytics
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 10:00",  # u1 s0
+            "2024-01-01 10:10",  # u1 s0 (10min gap)
+            "2024-01-01 11:00",  # u1 s1 (50min gap)
+            "2024-01-01 10:05",  # u2 s0
+        ]
+    )
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "user_id": [1, 1, 1, 2], "ts": ts}
+    )
+    sf = tmp_path / "sess"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet", index=False)
+    out = (
+        analytics.events_sessions(str(sf))
+        .to_pandas()
+        .set_index("event_id")["session_idx"]
+    )
+    assert out[1] == 0 and out[2] == 0 and out[3] == 1 and out[4] == 0
