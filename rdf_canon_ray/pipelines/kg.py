@@ -83,6 +83,8 @@ def _link_batches(sf_dir: str, transcripts, output: str) -> rd.Dataset:
             return linker._links(batch)
         if output == "triples":
             return linker._triples(batch)
+        if output == "mentions":
+            return linker._mention_rows(batch)
         return linker._quads(batch)
 
     return mentions_dataset(sf_dir, transcripts).map_batches(link, **_EXTRACT_KW)
@@ -372,44 +374,48 @@ def canonical_graphs_partitioned(
 def entity_mention_counts(sf_dir: str) -> rd.Dataset:
     """Cross-partition entity canonicalization stats: mentions per entity
     IRI across all conversations (groupby-aggregate shuffle on the
-    canonical key)."""
-    import pandas as pd
-
-    quads = quads_dataset(sf_dir)
-
+    canonical key).  Projects the linker's mention-IRI rows directly —
+    never expands the 7-quad-per-mention table (same multiset as the
+    ``urn:rel:mentions`` quads, ~3× less work and exchange volume)."""
     import numpy as np
+    import pandas as pd
 
     from ..stages.shuffle import grouped_agg
 
+    ments = _link_batches(sf_dir, None, "mentions")
+
     def project(batch: pd.DataFrame) -> pd.DataFrame:
-        sel = batch[(batch["p"] == "urn:rel:mentions")]
         return pd.DataFrame(
-            {"entity_iri": sel["o"], "n_mentions": np.ones(len(sel), np.int64)}
+            {
+                "entity_iri": batch["entity_iri"],
+                "n_mentions": np.ones(len(batch), np.int64),
+            }
         )
 
-    projected = quads.map_batches(project, batch_format="pandas", batch_size=32768)
+    projected = ments.map_batches(project, batch_format="pandas", batch_size=32768)
     return grouped_agg(projected, ["entity_iri"], {"n_mentions": "sum"})
 
 
 def entity_degree(sf_dir: str) -> rd.Dataset:
     """Cross-partition entity resolution stat #2: number of DISTINCT
     conversations mentioning each entity (distinct shuffle then grouped
-    count — the groupby-aggregate-on-canonical-key pattern)."""
+    count — the groupby-aggregate-on-canonical-key pattern).  Uses the
+    linker's direct mention-IRI projection (see entity_mention_counts);
+    the oracle names the graph key ``conv_id``→``graph_id``."""
     import numpy as np
     import pandas as pd
 
     from ..stages.shuffle import distinct, grouped_agg
 
-    quads = quads_dataset(sf_dir)
+    ments = _link_batches(sf_dir, None, "mentions")
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
-        sel = batch[batch["p"] == "urn:rel:mentions"]
         return pd.DataFrame(
-            {"graph_id": sel["graph_id"], "entity_iri": sel["o"]}
+            {"graph_id": batch["conv_id"], "entity_iri": batch["entity_iri"]}
         ).drop_duplicates()
 
     pairs = distinct(
-        quads.map_batches(project, batch_format="pandas", batch_size=32768),
+        ments.map_batches(project, batch_format="pandas", batch_size=32768),
         ["graph_id", "entity_iri"],
     )
 

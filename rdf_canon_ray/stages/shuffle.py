@@ -98,18 +98,21 @@ def distinct(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     batch_size: int = 32768,
 ) -> rd.Dataset:
-    """Exact multi-column DISTINCT: per-batch drop_duplicates (combiner)
-    then bucketed global drop_duplicates."""
+    """Exact multi-column DISTINCT: per-batch Arrow group_by dedup
+    (zero-copy C++ combiner) then bucketed global drop_duplicates."""
     keys = list(keys)
 
-    def local(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[keys].drop_duplicates()
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
 
     def combine(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.drop_duplicates()
 
+    deduped = ds.map_batches(
+        local, batch_format="pyarrow", batch_size=batch_size
+    )
     return bucketed_map_groups(
-        ds, keys, combine, num_buckets, local_combine=local, batch_size=batch_size
+        deduped, keys, combine, num_buckets, batch_size=batch_size
     )
 
 

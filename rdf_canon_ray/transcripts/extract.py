@@ -426,6 +426,66 @@ class EntityLinker:
 
         return pd.concat(out, ignore_index=True)
 
+    def _mention_rows(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """(conv_id, entity_iri) per entity mention — exactly the object
+        multiset of the ``urn:rel:mentions`` quads, WITHOUT expanding the
+        7-quad-per-row table first (the entity-aggregate queries only
+        need this projection; ~3× less work and shuffle volume)."""
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "entity_iri": pd.Series([], dtype=object),
+                }
+            )
+        conv = batch["conv_id"].to_numpy(dtype=object)
+        okey = np.array([c[5:] for c in conv], dtype=object)
+        order_iri = np.char.add(ENT + "order:", okey.astype(str))
+        convs = [conv]
+        iris = [order_iri.astype(object)]
+        m = batch["mtype"].to_numpy(dtype=object)
+
+        sel = m == "order_open"
+        if sel.any():
+            custkey = batch.loc[sel, "a"].map(self.cust)
+            ok = custkey.notna().to_numpy()
+            idx = np.flatnonzero(sel)[ok]
+            convs.append(conv[idx])
+            iris.append(
+                (ENT + "cust:" + custkey[ok].astype("int64").astype(str))
+                .to_numpy(dtype=object)
+            )
+
+        sel = m == "item"
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            sub = batch.iloc[idx]
+            pkeys = pd.Series(
+                list(zip(sub["a"], sub["b"])), index=sub.index
+            ).map(self.part)
+            skeys = sub["c"].map(self.supp)
+            pok = pkeys.notna().to_numpy()
+            if pok.any():
+                convs.append(conv[idx[pok]])
+                iris.append(
+                    (ENT + "part:" + pkeys[pok].astype("int64").astype(str))
+                    .to_numpy(dtype=object)
+                )
+            sok = skeys.notna().to_numpy()
+            if sok.any():
+                convs.append(conv[idx[sok]])
+                iris.append(
+                    (ENT + "supp:" + skeys[sok].astype("int64").astype(str))
+                    .to_numpy(dtype=object)
+                )
+
+        return pd.DataFrame(
+            {
+                "conv_id": np.concatenate(convs),
+                "entity_iri": np.concatenate(iris),
+            }
+        )
+
     def _links(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Scored link table: one row per entity mention surface with its
         resolved IRI and an ambiguity score = 1 / |candidate set|."""
