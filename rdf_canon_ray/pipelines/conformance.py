@@ -96,19 +96,25 @@ def run_conformance(sf_dir: str = "") -> rd.Dataset:
 
         def check(batch: pd.DataFrame) -> pd.DataFrame:
             exp = ray.get(expect_ref)
-            res = []
-            for _, r in batch.iterrows():
-                e = exp[r["graph_id"]]
-                if e["kind"] == "eval":
-                    ok = r["status"] == "ok" and r["canon_nquads"] == e["golden"]
-                elif e["kind"] == "map":
-                    ok = (
-                        r["status"] == "ok"
-                        and r["label_map"] == e["golden"]
-                    )
-                else:
-                    ok = r["status"] == "quarantined"
-                res.append((r["graph_id"], e["kind"], bool(ok)))
+            res = [
+                (
+                    gid,
+                    exp[gid]["kind"],
+                    bool(
+                        status == "ok" and doc == exp[gid]["golden"]
+                        if exp[gid]["kind"] == "eval"
+                        else status == "ok" and lm == exp[gid]["golden"]
+                        if exp[gid]["kind"] == "map"
+                        else status == "quarantined"
+                    ),
+                )
+                for gid, doc, lm, status in zip(
+                    batch["graph_id"],
+                    batch["canon_nquads"],
+                    batch["label_map"],
+                    batch["status"],
+                )
+            ]
             return pd.DataFrame(res, columns=["test_id", "kind", "passed"])
 
         results.append(out.map_batches(check, batch_format="pandas").to_pandas())

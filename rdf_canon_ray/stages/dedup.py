@@ -57,6 +57,18 @@ def _md5_hex(s: str) -> str:
 
 
 # ---------------------------------------------------------------- exact
+def _content_hash_batch(
+    batch: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "content_hash": batch[text_col].map(_md5_hex),
+            id_col: batch[id_col].to_numpy(),
+            "n_dups": np.ones(len(batch), np.int64),
+        }
+    )
+
+
 def exact_dedup(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -65,22 +77,59 @@ def exact_dedup(
 ) -> rd.Dataset:
     """Exact dedup: md5(text) → grouped min(id). Returns one row per
     distinct content: ``(doc_id=min id, content_hash, n_dups)``."""
+    import functools
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_hash": batch[text_col].map(_md5_hex),
-                id_col: batch[id_col].to_numpy(),
-                "n_dups": np.ones(len(batch), np.int64),
-            }
-        )
-
-    hashed = ds.map_batches(hash_batch, batch_format="pandas", batch_size=8192)
+    hashed = ds.map_batches(
+        functools.partial(_content_hash_batch, id_col=id_col, text_col=text_col),
+        batch_format="pandas",
+        batch_size=8192,
+    )
     return grouped_agg(
         hashed,
         ["content_hash"],
         {id_col: "min", "n_dups": "sum"},
         num_buckets=num_buckets,
+    )
+
+
+def run_exact_dedup_resumable(
+    ds: rd.Dataset,
+    output_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    input_tag: str = "",
+):
+    """Exact dedup with resumable partitioned output: each content-hash
+    bucket's keep-table lands in an atomic ``bucket=N/`` parquet
+    partition with lineage (same layout as the flagship's
+    ``state.lineage``), so a crashed corpus-scale dedup rerun skips
+    finished partitions at the input filter.  Returns the run summary.
+    """
+    import functools
+
+    from ..state.lineage import resumable_bucket_run
+
+    hashed = ds.map_batches(
+        functools.partial(_content_hash_batch, id_col=id_col, text_col=text_col),
+        batch_format="pandas",
+        batch_size=8192,
+    )
+
+    def bucket_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("content_hash", sort=False)
+            .agg(**{id_col: (id_col, "min"), "n_dups": ("n_dups", "sum")})
+            .reset_index()
+        )
+
+    return resumable_bucket_run(
+        hashed,
+        ["content_hash"],
+        bucket_fn,
+        output_root,
+        num_buckets=num_buckets,
+        input_tag=input_tag,
     )
 
 
@@ -128,10 +177,10 @@ def _shingle_hashes(text: str, k: int, mode: str = "char") -> np.ndarray:
     windows = np.lib.stride_tricks.sliding_window_view(b, k)
     powers = np.empty(k, dtype=np.uint64)
     acc = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        powers[i] = acc
-        acc = acc * _FNV  # uint64 wraparound
-    with np.errstate(over="ignore"):
+    with np.errstate(over="ignore"):  # uint64 wraparound is intended
+        for i in range(k - 1, -1, -1):
+            powers[i] = acc
+            acc = acc * _FNV
         h = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 

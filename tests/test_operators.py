@@ -296,3 +296,35 @@ def test_events_sessions_gap_semantics(ray_session, tmp_path):
         .set_index("event_id")["session_idx"]
     )
     assert out[1] == 0 and out[2] == 0 and out[3] == 1 and out[4] == 0
+
+
+def test_operators_handle_empty_and_singleton_inputs(ray_session):
+    """Empty and single-row corpora flow through every dedup/shuffle
+    operator without errors."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import (
+        dup_groups_from_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from rdf_canon_ray.stages.shuffle import distinct
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object)}
+    )
+    one = pd.DataFrame({"doc_id": [1], "text": ["hello world text"]})
+    assert exact_dedup(rd.from_pandas(empty)).count() == 0
+    assert exact_dedup(rd.from_pandas(one)).count() == 1
+    assert minhash_lsh_pairs(rd.from_pandas(empty)).count() == 0
+    assert minhash_lsh_pairs(rd.from_pandas(one)).count() == 0
+    assert simhash_pairs(rd.from_pandas(one)).count() == 0
+    assert distinct(rd.from_pandas(empty), ["doc_id"]).count() == 0
+    no_pairs = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype=float)}
+    )
+    assert dup_groups_from_pairs(rd.from_pandas(no_pairs)).count() == 0
