@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": corpus.quality_scores,
         "lang_id": corpus.lang_id,
         "fingerprints": corpus.fingerprints,
+        "hash_split": corpus.hash_split,
+        "decontaminate": corpus.decontaminate,
         # similarity search family
         "ann_topk": corpus.ann_topk,
         "ann_lsh_topk": corpus.ann_lsh_topk,
@@ -319,6 +321,39 @@ SELECT media_id,
 FROM f
 """,
     }
+    ngram8 = " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i + {j}]" for j in range(8)
+    )
+    shingle8 = f"""
+         CASE WHEN LENGTH(w) = 0 THEN []
+              WHEN LENGTH(w) < 8 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, LENGTH(w) - 7), i -> {ngram8}))
+         END"""
+    extra["hash_split"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cd'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e7'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+    extra["decontaminate"] = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, {shingle8} AS sh FROM w
+), bench AS (
+  SELECT LIST(g) AS gs FROM (
+    SELECT DISTINCT UNNEST(sh) AS g FROM sh
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)
+  )
+)
+SELECT doc_id,
+       LENGTH(list_intersect(sh, gs)) > 0 AS contaminated
+FROM sh, bench
+"""
     extra["quality_filtered"] = (
         "SELECT doc_id, quality FROM ("
         + extra["quality_scores"]

@@ -171,3 +171,40 @@ def media_frames(sf_dir: str) -> rd.Dataset:
 
 def media_stats(sf_dir: str) -> rd.Dataset:
     return multimodal.media_size_stats(_media_ds())
+
+
+def hash_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic content-stable train/val/test split assignment
+    (md5 2-hex-char buckets; reproducible in SQL)."""
+    return _docs(sf_dir).map_batches(
+        text.HashSplit,
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=default_pool(),
+    )
+
+
+def decontaminate(sf_dir: str, n: int = 8, bench_docs: int = 10) -> rd.Dataset:
+    """Benchmark decontamination: flag documents sharing any word
+    n-gram with the benchmark set (here: the ``bench_docs``
+    lowest-doc_id documents stand in for an eval benchmark).  The
+    benchmark shingle set broadcasts once; the scan is map-only."""
+    import ray
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = sorted(
+        zip(bench_tbl["doc_id"].to_pylist(), bench_tbl["text"].to_pylist())
+    )[:bench_docs]
+    shingles: set = set()
+    for _, t in order:
+        shingles |= text.Decontaminate.shingles(t, n)
+    bench_ref = ray.put(frozenset(shingles))
+    return _docs(sf_dir).map_batches(
+        text.Decontaminate,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=default_pool(),
+    )

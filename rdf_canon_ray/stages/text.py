@@ -177,3 +177,76 @@ class Fingerprint:
                 "rolling_min_fp": text.map(self._rolling_min).astype("uint64"),
             }
         )
+
+
+class HashSplit:
+    """Deterministic train/val/test assignment by content-stable hash:
+    the first two hex chars of ``md5(str(id))`` give 256 buckets; split
+    boundaries are hex-string thresholds, so the assignment is
+    reproducible anywhere (including in SQL) and independent of row
+    order, partitioning, or cluster size — the property a 100 TB
+    train/val split must have."""
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        boundaries: tuple = (("train", "cd"), ("val", "e7"), ("test", "ff")),
+    ):
+        # ("cd","e7","ff") ≈ 80.1% / 10.2% / 9.8% of the 256 buckets
+        self.id_col = id_col
+        self.boundaries = tuple(boundaries)
+
+    def assign(self, key: str) -> str:
+        h = hashlib.md5(key.encode("utf-8")).hexdigest()[:2]
+        for name, upper in self.boundaries:
+            if h <= upper:
+                return name
+        return self.boundaries[-1][0]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[self.id_col].astype(str)
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "split": keys.map(self.assign).to_numpy(dtype=object),
+            }
+        )
+
+
+class Decontaminate:
+    """Benchmark-contamination flagging: a document is contaminated when
+    it shares any word ``n``-gram with the benchmark set.  The benchmark
+    shingle set is the broadcast small side (``ray.put`` once, read in
+    ``__init__`` once per worker) — the standard decontamination shape
+    for corpus-scale filtering."""
+
+    def __init__(self, bench_ref, n: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if not isinstance(bench_ref, (set, frozenset))
+            else bench_ref
+        )
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def shingles(text: str, n: int) -> set:
+        w = text.split()
+        if len(w) < n:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        flags = [
+            not self.shingles(t, self.n).isdisjoint(self.bench)
+            for t in batch[self.text_col]
+        ]
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "contaminated": np.asarray(flags, dtype=bool),
+            }
+        )

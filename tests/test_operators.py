@@ -328,3 +328,45 @@ def test_operators_handle_empty_and_singleton_inputs(ray_session):
          "jaccard": pd.Series([], dtype=float)}
     )
     assert dup_groups_from_pairs(rd.from_pandas(no_pairs)).count() == 0
+
+
+def test_dup_groups_long_chain_converges(ray_session):
+    """Min-label propagation over a 12-node path graph needs ~11 rounds
+    — exercises the iterate-to-fixpoint loop, not just 1-hop cases."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import dup_groups_from_pairs
+
+    n = 12
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.arange(n - 1) + 100,
+            "id_b": np.arange(1, n) + 100,
+            "jaccard": [0.9] * (n - 1),
+        }
+    )
+    out = dup_groups_from_pairs(
+        rd.from_pandas(pairs), num_buckets=4
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["rep_id"] == 100).all()
+
+
+def test_hash_split_deterministic_and_complete(ray_session):
+    from rdf_canon_ray.pipelines import corpus
+
+    a = corpus.hash_split(SF).to_pandas().sort_values("doc_id")
+    b = corpus.hash_split(SF).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert set(a["split"]) <= {"train", "val", "test"}
+    # roughly 80/10/10 (content-stable, so exact counts are fixed)
+    frac = (a["split"] == "train").mean()
+    assert 0.6 < frac < 0.95
+
+
+def test_decontaminate_flags_benchmark_members(ray_session):
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.decontaminate(SF).to_pandas().set_index("doc_id")
+    bench_ids = sorted(out.index)[:10]
+    assert out.loc[bench_ids, "contaminated"].all()
