@@ -455,11 +455,17 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         batch_size=1024,
     )
+    # NOTE: the prepare fuses with the signature/banding maps, and the
+    # fused operator bundles input rows up to the LARGEST batch_size in
+    # the chain — a 32768-row prepare would collapse a small corpus into
+    # ONE signature task (and one sort partition → one bucket task).
+    # 256 docs per bundle keeps the expensive signature stage wide.
     partial = bucketed_map_groups(
         bands,
         ["band_id", "band_hash"],
         lambda bucket: _pairs_from_buckets(bucket, id_col),
         num_buckets=num_buckets,
+        batch_size=256,
     )
     m_min = _min_band_matches(threshold, n_bands, n_perm // n_bands)
 
@@ -517,7 +523,8 @@ def minhash_lsh_pairs(
         )
 
     with_a = bucketed_map_groups(
-        mixed_a, ["k"], sum_filter_attach, num_buckets=num_buckets
+        mixed_a, ["k"], sum_filter_attach, num_buckets=num_buckets,
+        batch_size=8192,
     )
 
     # Exchange 3 (key = id_b): attach text_b and verify inside the bucket
@@ -561,7 +568,8 @@ def minhash_lsh_pairs(
         return _cached_stage(JaccardVerifier, **verifier_kw)(joined)
 
     return bucketed_map_groups(
-        mixed_b, ["k"], attach_verify, num_buckets=num_buckets
+        mixed_b, ["k"], attach_verify, num_buckets=num_buckets,
+        batch_size=8192,
     )
 
 
