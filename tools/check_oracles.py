@@ -56,6 +56,12 @@ def main():
         g, x = normalize(got), normalize(exp)
         ok_rows = len(g) == len(x)
         ok_cols = list(g.columns) == list(x.columns)
+        # the driver's value hash is dtype-sensitive (int64 3 != float64
+        # 3.0) — a silent cast here is how docs_by_source slipped through
+        # in round 1, so dtype inequality is a failure, not a fix-up
+        ok_dtypes = ok_cols and [str(d) for d in g.dtypes] == [
+            str(d) for d in x.dtypes
+        ]
         ok_vals = False
         if ok_rows and ok_cols:
             try:
@@ -65,7 +71,12 @@ def main():
                 ok_vals = g.equals(x) or (g.round(9).equals(x.round(9)))
             except Exception as ex:
                 print("  compare error:", ex)
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "MISMATCH"
+        status = "OK" if (ok_rows and ok_cols and ok_dtypes and ok_vals) else "MISMATCH"
+        if ok_vals and not ok_dtypes:
+            print(
+                f"  dtype mismatch: {list(map(str, g.dtypes))} vs "
+                f"{list(map(str, x.dtypes))}"
+            )
         if status != "OK":
             failures += 1
         print(
