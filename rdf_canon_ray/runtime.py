@@ -35,6 +35,8 @@ def ensure_importable() -> None:
     for mod_info in pkgutil.walk_packages(
         rdf_canon_ray.__path__, prefix="rdf_canon_ray."
     ):
+        if mod_info.name.endswith("__main__"):
+            continue  # CLI module; importing it under runpy warns
         try:
             importlib.import_module(mod_info.name)
         except Exception:

@@ -186,3 +186,33 @@ def test_run_kg_pipeline_end_to_end(ray_session, tmp_path):
     )
     # corpus ordered by graph_id: first line belongs to conv-0
     assert "<urn:conv:conv-0>" in text.split("\n", 40)[0] or "urn:e:order:0" in text.split("\n", 1)[0]
+
+
+def test_cli_canonicalize_and_issue(ray_session):
+    """CLI surface: canonicalize/issue must match the golden fixtures
+    byte-for-byte (run in-process; the CLI owns no session here)."""
+    import io
+    import json
+    import sys as _sys
+
+    from rdf_canon_ray.__main__ import main
+
+    buf = io.StringIO()
+    old = _sys.stdout
+    _sys.stdout = buf
+    try:
+        rc = main(["canonicalize", "/root/reference/tests/rdfc10/test020-in.nq"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0
+    golden = open("/root/reference/tests/rdfc10/test020-rdfc10.nq").read()
+    assert buf.getvalue() == golden
+
+    buf = io.StringIO()
+    _sys.stdout = buf
+    try:
+        rc = main(["issue", "/root/reference/tests/rdfc10/test020-in.nq"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0
+    assert json.loads(buf.getvalue()) == {"e0": "c14n2", "e1": "c14n0", "e2": "c14n1"}
