@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": corpus.ann_ivf_topk,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
+        "media_feature_sums": corpus.media_feature_sums,
         "media_resized": corpus.media_resized,
         "media_frames": corpus.media_frames,
         "media_stats": corpus.media_stats,
@@ -353,6 +354,19 @@ WITH w AS (
 SELECT doc_id,
        LENGTH(list_intersect(sh, gs)) > 0 AS contaminated
 FROM sh, bench
+"""
+    byte_sum = " + ".join(
+        f"CAST('0x' || substr(h, {2 * j + 1}, 2) AS INT)" for j in range(32)
+    )
+    extra["media_feature_sums"] = f"""
+WITH m AS (
+  SELECT media_id, kind, payload_sha256 AS h
+  FROM read_parquet('{media_pq}')
+)
+SELECT media_id, kind, kind = 'image' AS decoded,
+       CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
+            AS BIGINT) AS feature_sum
+FROM m
 """
     extra["quality_filtered"] = (
         "SELECT doc_id, quality FROM ("

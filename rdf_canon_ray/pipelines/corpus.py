@@ -115,16 +115,28 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     )
 
 
-MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256.parquet"
+MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256_v2.parquet"
 
 
 def media_corpus_parquet(path: str = MEDIA_PARQUET) -> str:
     """Persist the deterministic synthetic media corpus so media queries
-    and their DuckDB oracles read the SAME parquet rows."""
+    and their DuckDB oracles read the SAME parquet rows.  The payload's
+    sha256 hex rides along as a column (DuckDB 1.0 cannot hash BLOBs),
+    letting the oracle recompute the stub feature math from the digest
+    while the engine hashes the raw payload bytes itself."""
     if not os.path.exists(path):
+        import hashlib
+
+        import pyarrow as pa
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = multimodal.synth_media_table(256)
+        digests = [
+            hashlib.sha256(p.as_py()).hexdigest() for p in t["payload"]
+        ]
+        t = t.append_column("payload_sha256", pa.array(digests, pa.string()))
         tmp = path + ".tmp"
-        pq.write_table(multimodal.synth_media_table(256), tmp)
+        pq.write_table(t, tmp)
         os.replace(tmp, path)
     return path
 
@@ -208,3 +220,27 @@ def decontaminate(sf_dir: str, n: int = 8, bench_docs: int = 10) -> rd.Dataset:
         batch_size=8192,
         concurrency=default_pool(),
     )
+
+
+def media_feature_sums(sf_dir: str) -> rd.Dataset:
+    """Oracle-checkable companion of ``media_features``: the stub decode
+    derives features from sha256(payload) bytes, so the per-row feature
+    sum is exactly 2 × the digest byte sum — DuckDB recomputes it from
+    the same parquet payloads, closing the loop on the multimodal
+    feature path without shipping list columns through the compare."""
+    import pandas as pd
+
+    feats = media_feature_table(sf_dir)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        sums = [int(sum(f)) for f in batch["feature"]]
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "kind": batch["kind"].to_numpy(dtype=object),
+                "decoded": batch["decoded"].to_numpy(),
+                "feature_sum": np.asarray(sums, np.int64),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pandas", batch_size=4096)
