@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": lambda sf: kg.triples_dataset(sf),
         "kg_entity_mentions": lambda sf: kg.entity_mention_counts(sf),
         "kg_links": lambda sf: kg.distinct_links_dataset(sf),
+        "kg_links_scored": lambda sf: kg.scored_links_dataset(sf),
         "kg_canonical_graphs": lambda sf: kg.canonical_graphs_dataset(sf),
         "kg_canonical_sha384": lambda sf: kg.canonical_graphs_dataset(
             sf, hash_name="sha384"
@@ -367,6 +368,30 @@ SELECT media_id, kind, kind = 'image' AS decoded,
        CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
             AS BIGINT) AS feature_sum
 FROM m
+"""
+    extra["kg_links_scored"] = """
+WITH part_ct AS (
+  SELECT p_name, p_brand, MIN(p_partkey) AS pk, COUNT(*) AS cnt
+  FROM part GROUP BY 1, 2
+),
+t AS (
+  SELECT 'conv-' || o_orderkey AS conv_id, c_name AS surface,
+         'urn:e:cust:' || c_custkey AS entity_iri,
+         CAST(1.0 AS DOUBLE) AS score
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, p.p_name || '|' || p.p_brand,
+         'urn:e:part:' || pc2.pk,
+         round_even(CAST(1.0 AS DOUBLE) / pc2.cnt, 6)
+  FROM lineitem l
+  JOIN part p ON l_partkey = p_partkey
+  JOIN part_ct pc2 ON p.p_name = pc2.p_name AND p.p_brand = pc2.p_brand
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, s_name, 'urn:e:supp:' || l_suppkey,
+         CAST(1.0 AS DOUBLE)
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT DISTINCT conv_id, surface, entity_iri, score FROM t
 """
     extra["quality_filtered"] = (
         "SELECT doc_id, quality FROM ("

@@ -185,6 +185,29 @@ def label_invariants(sf_dir: str) -> rd.Dataset:
     )
 
 
+def scored_links_dataset(sf_dir: str) -> rd.Dataset:
+    """Distinct scored links (conv_id, surface, entity_iri, score):
+    the ambiguity score is 1 / |candidate set| for part surfaces (names
+    are intentionally ambiguous; min-partkey resolution), 1.0 for
+    customer/supplier surfaces — SQL-derivable from the dimension
+    tables, so the scoring surface is oracle-checked."""
+    import pandas as pd
+
+    from ..stages.shuffle import distinct
+
+    links = links_dataset(sf_dir)
+
+    def round_score(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["score"] = out["score"].round(6)
+        return out
+
+    return distinct(
+        links.map_batches(round_score, batch_format="pandas", batch_size=32768),
+        ["conv_id", "surface", "entity_iri", "score"],
+    )
+
+
 def distinct_links_dataset(
     sf_dir: str, transcripts: Optional[rd.Dataset] = None
 ) -> rd.Dataset:
