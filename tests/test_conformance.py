@@ -52,3 +52,19 @@ def test_manifest_entry(entry):
             canonicalize(quads, hash_name=hash_name)
     else:
         pytest.fail(f"unknown test type {typ}")
+
+
+def test_canonicalization_idempotent():
+    """Canonical output is a fixpoint: canonicalizing a canonical
+    document reproduces it byte-for-byte (labels are structural, so the
+    reissue is stable)."""
+    from rdf_canon_ray.core import canonicalize, nquads
+
+    for fix in ["test017", "test020", "test044", "test060", "test075"]:
+        quads = nquads.parse_file(
+            f"/root/reference/tests/rdfc10/{fix}-in.nq"
+        )
+        hash_name = "sha384" if fix == "test075" else "sha256"
+        once = canonicalize(quads, hash_name=hash_name)
+        twice = canonicalize(nquads.parse(once), hash_name=hash_name)
+        assert twice == once
