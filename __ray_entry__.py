@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": corpus.decontaminate,
         # similarity search family
         "ann_topk": corpus.ann_topk,
+        "ann_knn_join": corpus.knn_refset,
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
         # multimodal plumbing family
@@ -368,6 +369,24 @@ SELECT media_id, kind, kind = 'image' AS decoded,
        CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
             AS BIGINT) AS feature_sum
 FROM m
+"""
+    extra["ann_knn_join"] = """
+WITH r AS (
+  SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS rv
+  FROM embeddings ORDER BY vec_id LIMIT 200
+), scored AS (
+  SELECT e.vec_id, r.nn_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), r.rv) AS s
+  FROM embeddings e CROSS JOIN r
+), ranked AS (
+  SELECT vec_id, nn_id, s,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY s DESC, nn_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT vec_id, rank, nn_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= 5
 """
     extra["kg_links_scored"] = """
 WITH part_ct AS (

@@ -244,3 +244,14 @@ def media_feature_sums(sf_dir: str) -> rd.Dataset:
         )
 
     return feats.map_batches(project, batch_format="pandas", batch_size=4096)
+
+
+def knn_refset(sf_dir: str, k: int = 5, n_ref: int = 200) -> rd.Dataset:
+    """KNN join of the whole embedding table against the ``n_ref``
+    lowest-vec_id vectors as the broadcast reference set."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ref_ids = np.asarray(t["vec_id"].to_pylist()[:n_ref])
+    ref_vecs = np.stack(t["embedding"].to_pylist()[:n_ref])
+    return similarity.knn_join(_embeddings(sf_dir), ref_ids, ref_vecs, k=k)

@@ -402,3 +402,55 @@ def embedding_near_dup_pairs(
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(signed, ["bucket"], pairs, num_buckets=num_buckets)
+
+
+def knn_join(
+    ds: rd.Dataset,
+    ref_ids: np.ndarray,
+    ref_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """KNN join against a broadcast reference set: for EVERY row of
+    ``ds``, the top-k most-similar vectors from ``ref_vecs`` (cosine,
+    ties by ascending ref id).  Map-only — the reference matrix ships
+    once via ``ray.put`` and each batch does one matmul, so the operator
+    scales with the corpus while the reference set (a benchmark, a
+    centroid book, a dedup target) stays the small side.
+
+    Output: (vec_id, rank, nn_id, score[rounded 6dp])."""
+    order = np.argsort(ref_ids)
+    ref_ids = np.asarray(ref_ids)[order]
+    rn = _normalize(np.asarray(ref_vecs, dtype=np.float64)[order])
+    ref = ray.put((ref_ids, rn))
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_r, rn_l = ray.get(ref)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
+        ids = batch[id_col].to_numpy()
+        sims = vecs @ rn_l.T  # (n, m)
+        kk = min(k, sims.shape[1])
+        # top-k per row with (score desc, ref id asc) tie-break; ref ids
+        # are pre-sorted so stable argsort on -sims suffices
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_rows = []
+        for i in range(len(ids)):
+            cand = idx[i]
+            order_i = np.lexsort((ids_r[cand], -sims[i, cand]))
+            cand = cand[order_i]
+            out_rows.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.full(kk, ids[i]),
+                        "rank": np.arange(1, kk + 1, dtype=np.int64),
+                        "nn_id": ids_r[cand],
+                        "score": np.round(sims[i, cand], 6),
+                    }
+                )
+            )
+        return pd.concat(out_rows, ignore_index=True)
+
+    return ds.map_batches(
+        per_batch, batch_format="pandas", batch_size=2048
+    )
