@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev": analytics.events_prev,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
+        "events_sliding": analytics.events_sliding,
         "top_terms": analytics.top_terms,
         "quality_filtered": analytics.quality_filtered,
         # dedup family
@@ -208,6 +209,21 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id
        ) AS BIGINT) AS session_idx
 FROM e
+""",
+        "events_sliding": """
+WITH g AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts) AS grid
+  FROM events
+), rep AS (
+  SELECT event_type, value,
+         grid - (j * INTERVAL 15 MINUTE) AS window_start
+  FROM (SELECT *, UNNEST(generate_series(0, 3)) AS j FROM g)
+)
+SELECT event_type, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM rep GROUP BY 1, 2
 """,
         "top_terms": """
 SELECT term, CAST(COUNT(*) AS BIGINT) AS n

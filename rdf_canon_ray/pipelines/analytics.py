@@ -377,3 +377,52 @@ def quality_filtered(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         ]
 
     return scored.map_batches(keep, batch_format="pandas", batch_size=8192)
+
+
+def events_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding event-time windows (1 h length, 15 min slide): every
+    event lands in the 4 windows covering it, emitted as partial
+    aggregates inside ``map_batches`` (the combiner) before one bucketed
+    grouped merge — the same replicate-then-aggregate shape a streaming
+    engine uses, with window close at read time.
+
+    Output: (event_type, window_start, n_events, sum_value)."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    slide = np.timedelta64(15 * 60, "s")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy()
+        grid = ts.astype("datetime64[s]").astype(np.int64) // 900 * 900
+        frames = []
+        for j in range(4):
+            start = (grid - j * 900).astype("datetime64[s]").astype("datetime64[us]")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": batch["event_type"].to_numpy(dtype=object),
+                        "window_start": start,
+                        "n_events": np.ones(len(batch), np.int64),
+                        "sum_value": batch["value"].to_numpy(),
+                    }
+                )
+            )
+        rep = pd.concat(frames, ignore_index=True)
+        g = (
+            rep.groupby(["event_type", "window_start"], sort=False)
+            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+        return g
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    merged = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas", batch_size=32768),
+        ["event_type", "window_start"],
+        {"n_events": "sum", "sum_value": "sum"},
+        num_buckets=32,
+    )
+    return merged.map_batches(finish, batch_format="pandas", batch_size=32768)

@@ -370,3 +370,35 @@ def test_decontaminate_flags_benchmark_members(ray_session):
     out = corpus.decontaminate(SF).to_pandas().set_index("doc_id")
     bench_ids = sorted(out.index)[:10]
     assert out.loc[bench_ids, "contaminated"].all()
+
+
+def test_events_sliding_covers_four_windows(ray_session, tmp_path):
+    """A single event appears in exactly the 4 sliding windows (1h len,
+    15min slide) that cover it."""
+    import pandas as pd
+
+    from rdf_canon_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1],
+            "user_id": [1],
+            "event_type": ["click"],
+            "ts": pd.to_datetime(["2024-01-01 10:07"]),
+            "value": [2.5],
+        }
+    )
+    sf = tmp_path / "slide"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet", index=False)
+    out = analytics.events_sliding(str(sf)).to_pandas()
+    assert len(out) == 4
+    starts = sorted(out["window_start"])
+    assert [str(s) for s in starts] == [
+        "2024-01-01 09:15:00",
+        "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00",
+        "2024-01-01 10:00:00",
+    ]
+    assert (out["n_events"] == 1).all()
+    assert (out["sum_value"] == 2.5).all()
