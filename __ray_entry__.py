@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": corpus.simhash_pairs,
         "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
         "dedup_embedding_pairs": corpus.embedding_near_dups,
+        "dedup_clean": corpus.dedup_clean,
         # text analysis family
         "token_stats": corpus.token_stats,
         "quality_scores": corpus.quality_scores,
@@ -385,6 +386,38 @@ SELECT media_id, kind, kind = 'image' AS decoded,
        CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
             AS BIGINT) AS feature_sum
 FROM m
+"""
+    extra["dedup_clean"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(w) < 3
+              THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, LENGTH(w) - 2),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (LENGTH(a.sh) + LENGTH(b.sh)
+             - LENGTH(list_intersect(a.sh, b.sh))) >= 0.5
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+), rep AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
 """
     extra["ann_knn_join"] = """
 WITH r AS (

@@ -255,3 +255,35 @@ def knn_refset(sf_dir: str, k: int = 5, n_ref: int = 200) -> rd.Dataset:
     ref_ids = np.asarray(t["vec_id"].to_pylist()[:n_ref])
     ref_vecs = np.stack(t["embedding"].to_pylist()[:n_ref])
     return similarity.knn_join(_embeddings(sf_dir), ref_ids, ref_vecs, k=k)
+
+
+def dedup_clean(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """End-to-end corpus dedup: word-3-gram near-dup groups → keep only
+    each cluster's min-id representative (plus all unduplicated docs).
+
+    The group table is output-scale (one row per document that touches a
+    near-dup pair), so collecting it to build the broadcast drop-set is
+    the standard small-side pattern, not a corpus materialization; the
+    corpus itself streams through one map-only anti-join filter.
+
+    Output: (doc_id) of the kept documents."""
+    import ray
+
+    from ..stages.dedup import dup_groups_from_pairs
+    from ..stages.joins import anti_join_filter
+
+    groups = dup_groups_from_pairs(
+        ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    ).to_pandas()
+    drop = set(
+        groups.loc[groups["doc_id"] != groups["rep_id"], "doc_id"].tolist()
+    )
+    drop_ref = ray.put(drop)
+    kept = anti_join_filter(_docs(sf_dir), "doc_id", drop_ref)
+    import pandas as pd
+
+    return kept.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].to_numpy()}),
+        batch_format="pandas",
+        batch_size=32768,
+    )

@@ -402,3 +402,30 @@ def test_events_sliding_covers_four_windows(ray_session, tmp_path):
     ]
     assert (out["n_events"] == 1).all()
     assert (out["sum_value"] == 2.5).all()
+
+
+def test_dedup_clean_drops_only_non_representatives(ray_session):
+    """Corpus dedup keeps every unduplicated doc plus exactly one
+    representative (min id) per near-dup cluster."""
+    from rdf_canon_ray.pipelines import corpus
+
+    kept = set(corpus.dedup_clean(SF).to_pandas()["doc_id"])
+    groups = (
+        corpus.minhash_groups(SF, threshold=0.8)
+    )  # char-based groups only sanity-check structure
+    pairs = corpus.ngram_jaccard_pairs(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    all_ids = set(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    dropped = all_ids - kept
+    # every dropped doc appears in some near-dup pair, never as the
+    # smallest member of its pair set
+    paired = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert dropped <= paired
+    for d in dropped:
+        partners = set(pairs.loc[pairs["id_a"] == d, "id_b"]) | set(
+            pairs.loc[pairs["id_b"] == d, "id_a"]
+        )
+        assert min(partners | {d}) < d  # someone smaller represents it
