@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": corpus.lang_id,
         "fingerprints": corpus.fingerprints,
         "hash_split": corpus.hash_split,
+        "pack_sequences": corpus.pack_sequences,
         "decontaminate": corpus.decontaminate,
         # similarity search family
         "ann_topk": corpus.ann_topk,
@@ -386,6 +387,26 @@ SELECT media_id, kind, kind = 'image' AS decoded,
        CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
             AS BIGINT) AS feature_sum
 FROM m
+"""
+    extra["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 16 AS pack_bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_bucket,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY pack_bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_tok
+  FROM t
+)
+SELECT doc_id, pack_bucket,
+       CAST(start_tok // 256 AS BIGINT) AS seq_idx,
+       CAST(start_tok % 256 AS BIGINT) AS tok_offset
+FROM c
 """
     extra["dedup_clean"] = """
 WITH RECURSIVE d AS (

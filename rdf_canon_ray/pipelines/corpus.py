@@ -287,3 +287,62 @@ def dedup_clean(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         batch_format="pandas",
         batch_size=32768,
     )
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 256, num_packs: int = 16
+) -> rd.Dataset:
+    """GPT-style sequence packing: documents are routed to ``num_packs``
+    content-stable packing streams (md5 of doc_id — reproducible in
+    SQL), and within each stream (doc_id order) tokens are concatenated
+    and cut every ``budget`` tokens.  Each document's placement is fully
+    determined by the cumulative token count before it, so the packing
+    parallelizes per stream with no sequential scan across the corpus.
+
+    Output: (doc_id, pack_bucket, seq_idx, tok_offset) — the training
+    sequence index the document STARTS in and its offset within it."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _docs(sf_dir)
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok = batch["text"].str.split().str.len().fillna(0).astype("int64")
+        buckets = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % num_packs
+            for d in batch["doc_id"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "pack_bucket": np.asarray(buckets, np.int64),
+                "n_tok": n_tok.to_numpy(),
+            }
+        )
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pb, sub in bucket.groupby("pack_bucket", sort=False):
+            b = sub.sort_values("doc_id", kind="mergesort")
+            start = b["n_tok"].cumsum().shift(fill_value=0).to_numpy()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": b["doc_id"].to_numpy(),
+                        "pack_bucket": np.full(len(b), pb, np.int64),
+                        "seq_idx": (start // budget).astype(np.int64),
+                        "tok_offset": (start % budget).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(
+        docs.map_batches(route, batch_format="pandas", batch_size=8192),
+        ["pack_bucket"],
+        pack,
+        num_buckets=num_packs,
+    )

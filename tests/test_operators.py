@@ -429,3 +429,24 @@ def test_dedup_clean_drops_only_non_representatives(ray_session):
             pairs.loc[pairs["id_b"] == d, "id_a"]
         )
         assert min(partners | {d}) < d  # someone smaller represents it
+
+
+def test_pack_sequences_contiguous_within_stream(ray_session):
+    """Packing invariant per stream: doc start offsets are the running
+    token total (concat-then-chunk), so consecutive docs are contiguous
+    modulo the budget."""
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.pack_sequences(SF, budget=256).to_pandas()
+    toks = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    toks["n_tok"] = toks["text"].str.split().str.len()
+    merged = out.merge(toks[["doc_id", "n_tok"]], on="doc_id")
+    for _, sub in merged.groupby("pack_bucket"):
+        sub = sub.sort_values("doc_id")
+        running = 0
+        for _, r in sub.iterrows():
+            assert r["seq_idx"] == running // 256
+            assert r["tok_offset"] == running % 256
+            running += r["n_tok"]
