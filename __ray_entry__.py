@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": corpus.fingerprints,
         "hash_split": corpus.hash_split,
         "pack_sequences": corpus.pack_sequences,
+        "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         # similarity search family
         "ann_topk": corpus.ann_topk,
@@ -387,6 +388,41 @@ SELECT media_id, kind, kind = 'image' AS decoded,
        CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
             AS BIGINT) AS feature_sum
 FROM m
+"""
+    extra["repetition_stats"] = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+         LENGTH(regexp_extract_all(text, '\\S+')) AS nw
+  FROM documents
+), g2 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, nw - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM base WHERE nw >= 2
+), c2 AS (
+  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+), g3 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, nw - 2),
+                               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+           AS g
+  FROM base WHERE nw >= 3
+), c3 AS (
+  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT b.doc_id,
+       round_even(COALESCE(CAST(c2.mx AS DOUBLE) / c2.tot, 0.0), 6)
+         AS top_bigram_frac,
+       round_even(COALESCE(CAST(c3.mx AS DOUBLE) / c3.tot, 0.0), 6)
+         AS top_trigram_frac,
+       round_even(CASE WHEN nw = 0 THEN 0.0
+                       ELSE 1.0 - CAST(LENGTH(list_distinct(w)) AS DOUBLE) / nw
+                  END, 6) AS dup_word_frac
+FROM base b
+LEFT JOIN c2 ON b.doc_id = c2.doc_id
+LEFT JOIN c3 ON b.doc_id = c3.doc_id
 """
     extra["pack_sequences"] = """
 WITH t AS (

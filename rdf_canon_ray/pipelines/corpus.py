@@ -346,3 +346,13 @@ def pack_sequences(
         pack,
         num_buckets=num_packs,
     )
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Intra-document repetition quality signals (Gopher-style)."""
+    return _docs(sf_dir).map_batches(
+        text.RepetitionStats,
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=default_pool(),
+    )

@@ -250,3 +250,45 @@ class Decontaminate:
                 "contaminated": np.asarray(flags, dtype=bool),
             }
         )
+
+
+class RepetitionStats:
+    """Gopher-style intra-document repetition signals: the fraction of
+    all word n-grams taken by the single most frequent one (n = 2, 3)
+    and the duplicate-word fraction.  High values mark boilerplate /
+    degenerate generations that quality filters drop."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def _top_frac(words: list, n: int) -> float:
+        if len(words) < n:
+            return 0.0
+        from collections import Counter
+
+        grams = Counter(
+            tuple(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        total = sum(grams.values())
+        return grams.most_common(1)[0][1] / total
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {
+            self.id_col: batch[self.id_col].to_numpy(),
+            "top_bigram_frac": [],
+            "top_trigram_frac": [],
+            "dup_word_frac": [],
+        }
+        for t in batch[self.text_col]:
+            w = t.split()
+            rows["top_bigram_frac"].append(round(self._top_frac(w, 2), 6))
+            rows["top_trigram_frac"].append(round(self._top_frac(w, 3), 6))
+            rows["dup_word_frac"].append(
+                round(1.0 - len(set(w)) / len(w), 6) if w else 0.0
+            )
+        out = pd.DataFrame(rows)
+        for c in ["top_bigram_frac", "top_trigram_frac", "dup_word_frac"]:
+            out[c] = out[c].astype(float)
+        return out
