@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
         "top_terms": analytics.top_terms,
+        "doc_freq": analytics.doc_freq,
         "quality_filtered": analytics.quality_filtered,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
@@ -227,6 +228,14 @@ SELECT event_type, window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM rep GROUP BY 1, 2
+""",
+        "doc_freq": """
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents
+)
+GROUP BY term
 """,
         "top_terms": """
 SELECT term, CAST(COUNT(*) AS BIGINT) AS n

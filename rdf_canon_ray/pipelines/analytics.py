@@ -426,3 +426,33 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
         num_buckets=32,
     )
     return merged.map_batches(finish, batch_format="pandas", batch_size=32768)
+
+
+def doc_freq(sf_dir: str) -> rd.Dataset:
+    """Term document frequency (the IDF denominator for TF-IDF-based
+    quality filters): distinct (doc, term) pairs per batch (combiner),
+    then one bucketed grouped count per term."""
+    from ..stages.shuffle import grouped_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            batch.set_index("doc_id")["text"].str.split().explode()
+        )
+        df = pairs.reset_index()
+        df.columns = ["doc_id", "term"]
+        df = df.drop_duplicates()
+        return pd.DataFrame(
+            {"term": df["term"].to_numpy(dtype=object),
+             "df": np.ones(len(df), np.int64)}
+        )
+
+    return grouped_agg(
+        docs.map_batches(
+            explode_distinct, batch_format="pandas", batch_size=2048
+        ),
+        ["term"],
+        {"df": "sum"},
+        num_buckets=32,
+    )

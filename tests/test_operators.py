@@ -450,3 +450,54 @@ def test_pack_sequences_contiguous_within_stream(ray_session):
             assert r["seq_idx"] == running // 256
             assert r["tok_offset"] == running % 256
             running += r["n_tok"]
+
+
+def test_shuffle_backbone_matches_pandas(ray_session):
+    """Randomized (seeded) equivalence: grouped_agg and distinct over
+    the bucketed shuffle match plain pandas on mixed-type frames."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.shuffle import distinct, grouped_agg
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "k1": rng.choice(["a", "b", "c", "d"], n),
+                "k2": rng.randint(0, 13, n),
+                "v": rng.normal(size=n),
+                "w": rng.randint(-5, 5, n).astype(np.int64),
+            }
+        )
+        got = (
+            grouped_agg(
+                rd.from_pandas(df), ["k1", "k2"],
+                {"v": "sum", "w": "min"}, num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.groupby(["k1", "k2"])
+            .agg(v=("v", "sum"), w=("w", "min"))
+            .reset_index()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        assert np.allclose(got["v"], exp["v"]) and (got["w"] == exp["w"]).all()
+
+        d_got = (
+            distinct(rd.from_pandas(df), ["k1", "k2"], num_buckets=8)
+            .to_pandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        d_exp = (
+            df[["k1", "k2"]]
+            .drop_duplicates()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        assert d_got.equals(d_exp)
