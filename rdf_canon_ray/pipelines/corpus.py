@@ -23,7 +23,9 @@ def _docs(sf_dir: str) -> rd.Dataset:
 
 
 def dedup_exact(sf_dir: str) -> rd.Dataset:
-    return dedup.exact_dedup(_docs(sf_dir))
+    from ..util import default_buckets
+
+    return dedup.exact_dedup(_docs(sf_dir), num_buckets=default_buckets())
 
 
 def token_stats(sf_dir: str) -> rd.Dataset:
@@ -51,7 +53,11 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
 
 
 def minhash_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
-    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=threshold)
+    from ..util import default_buckets
+
+    return dedup.minhash_lsh_pairs(
+        _docs(sf_dir), threshold=threshold, num_buckets=default_buckets()
+    )
 
 
 def minhash_groups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
@@ -59,17 +65,22 @@ def minhash_groups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
 
 
 def simhash_pairs(sf_dir: str) -> rd.Dataset:
-    return dedup.simhash_pairs(_docs(sf_dir))
+    from ..util import default_buckets
+
+    return dedup.simhash_pairs(_docs(sf_dir), num_buckets=default_buckets())
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     """Word-3-gram Jaccard near-dup (same LSH + verify path, word
     shingles instead of char shingles)."""
+    from ..util import default_buckets
+
     return dedup.minhash_lsh_pairs(
         _docs(sf_dir),
         shingle_k=3,
         shingle_mode="word",
         threshold=threshold,
+        num_buckets=default_buckets(),
     )
 
 
