@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": analytics.events_sliding,
         "top_terms": analytics.top_terms,
         "doc_freq": analytics.doc_freq,
+        "events_price_band": analytics.events_price_band,
         "quality_filtered": analytics.quality_filtered,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
@@ -228,6 +229,13 @@ SELECT event_type, window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM rep GROUP BY 1, 2
+""",
+        "events_price_band": """
+SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM events e JOIN part p
+  ON p.p_retailprice >= 100 * e.value - 5
+ AND p.p_retailprice <  100 * e.value + 5
+GROUP BY 1
 """,
         "doc_freq": """
 SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df

@@ -456,3 +456,49 @@ def doc_freq(sf_dir: str) -> rd.Dataset:
         {"df": "sum"},
         num_buckets=32,
     )
+
+
+def events_price_band(sf_dir: str, scale: float = 100.0, radius: float = 5.0) -> rd.Dataset:
+    """Range-join instance: for each event, count the parts whose retail
+    price falls in the half-open band [100·value − 5, 100·value + 5).
+    Grid-cell replicated join (stages.joins.range_join) + grouped count;
+    events with no parts in band are absent (inner semantics).
+
+    Output: (event_id, n_parts)."""
+    from ..stages.joins import range_join
+    from ..stages.shuffle import grouped_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def scaled(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "v": (batch["value"].to_numpy(dtype=np.float64) * scale),
+            }
+        )
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    pairs = range_join(
+        ev.map_batches(scaled, batch_format="pandas", batch_size=8192),
+        parts,
+        left_val="v",
+        right_val="p_retailprice",
+        radius=radius,
+    )
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        # event_id rides the join's schema union as float64; restore
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy().astype(np.int64),
+                "n_parts": np.ones(len(batch), np.int64),
+            }
+        )
+
+    return grouped_agg(
+        pairs.map_batches(ones, batch_format="pandas", batch_size=32768),
+        ["event_id"],
+        {"n_parts": "sum"},
+        num_buckets=32,
+    )

@@ -171,3 +171,66 @@ def anti_join_filter(ds: rd.Dataset, col: str, keys_ref) -> rd.Dataset:
         return batch[~batch[col].isin(keys)]
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=32768)
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_val: str,
+    right_val: str,
+    radius: float,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """1-D range (interval) join: pairs where
+    ``right_val ∈ [left_val - radius, left_val + radius)``.
+
+    Distributed shape: the value axis is cut into grid cells of width
+    ``radius``; every right row lands in its single cell, every left row
+    replicates to the ≤3 cells its window overlaps, cells hash into
+    buckets, and the exact window predicate filters inside the bucket —
+    no all-pairs comparison, bounded ×3 replication of one side, and the
+    pattern generalizes to time-interval and as-of joins."""
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+    w = float(radius)
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[left_val].to_numpy(dtype=np.float64)
+        lo = np.floor((v - w) / w).astype(np.int64)
+        hi = np.floor((v + w) / w).astype(np.int64)
+        frames = []
+        for off in range(3):  # window width 2w spans at most 3 w-cells
+            cell = lo + off
+            keep = cell <= hi
+            sub = batch.loc[keep].copy()
+            sub["_cell"] = cell[keep]
+            sub["_side"] = "l"
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        return out.reindex(columns=left_cols + right_cols + ["_cell", "_side"])
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[right_val].to_numpy(dtype=np.float64)
+        out = batch.copy()
+        out["_cell"] = np.floor(v / w).astype(np.int64)
+        out["_side"] = "r"
+        return out.reindex(columns=left_cols + right_cols + ["_cell", "_side"])
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket.loc[bucket["_side"] == "l", left_cols + ["_cell"]]
+        r = bucket.loc[bucket["_side"] == "r", right_cols + ["_cell"]]
+        m = l.merge(r, on="_cell").drop(columns=["_cell"])
+        if len(m) == 0:
+            return m
+        v = m[left_val].to_numpy(dtype=np.float64)
+        rv = m[right_val].to_numpy(dtype=np.float64)
+        return m.loc[(rv >= v - w) & (rv < v + w)]
+
+    return bucketed_map_groups(tagged, ["_cell"], merge_bucket, num_buckets)

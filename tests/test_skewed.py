@@ -113,3 +113,36 @@ def test_hash_join_broadcast_fallback(ray_session):
         broadcast_threshold=10,
     ).to_pandas()
     assert sorted(out["k"]) == [2, 4]
+
+
+def test_range_join_exact_window(ray_session):
+    """Grid-cell range join returns exactly the brute-force half-open
+    window pairs, each pair once."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import range_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({"lid": np.arange(300), "lv": rng.uniform(0, 100, 300)})
+    right = pd.DataFrame({"rid": np.arange(500), "rv": rng.uniform(0, 100, 500)})
+    r = 2.5
+    got = (
+        range_join(rd.from_pandas(left), rd.from_pandas(right), "lv", "rv", r)
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    lv = left.set_index("lid")["lv"]
+    expect = []
+    for lid, v in lv.items():
+        hits = right[(right["rv"] >= v - r) & (right["rv"] < v + r)]
+        for rid in hits["rid"]:
+            expect.append((lid, rid))
+    exp = pd.DataFrame(expect, columns=["lid", "rid"]).sort_values(
+        ["lid", "rid"]
+    ).reset_index(drop=True)
+    got_pairs = got[["lid", "rid"]].astype("int64").reset_index(drop=True)
+    assert got_pairs.equals(exp)
+    assert len(exp) > 0

@@ -59,9 +59,11 @@ def main():
         # the driver's value hash is dtype-sensitive (int64 3 != float64
         # 3.0) — a silent cast here is how docs_by_source slipped through
         # in round 1, so dtype inequality is a failure, not a fix-up
-        ok_dtypes = ok_cols and [str(d) for d in g.dtypes] == [
-            str(d) for d in x.dtypes
-        ]
+        dtype_pair = (
+            [str(d) for d in g.dtypes],
+            [str(d) for d in x.dtypes],
+        )
+        ok_dtypes = ok_cols and dtype_pair[0] == dtype_pair[1]
         ok_vals = False
         if ok_rows and ok_cols:
             try:
@@ -73,10 +75,7 @@ def main():
                 print("  compare error:", ex)
         status = "OK" if (ok_rows and ok_cols and ok_dtypes and ok_vals) else "MISMATCH"
         if ok_vals and not ok_dtypes:
-            print(
-                f"  dtype mismatch: {list(map(str, g.dtypes))} vs "
-                f"{list(map(str, x.dtypes))}"
-            )
+            print(f"  dtype mismatch (engine vs oracle): {dtype_pair}")
         if status != "OK":
             failures += 1
         print(
