@@ -10,7 +10,9 @@ Reader: ``read_text`` (streaming, line-splittable) → vectorized parse in
 Writer: canonical corpus emission must not depend on Ray's
 nondeterministic block order, so the graphs are sorted by ``graph_id``
 (range shuffle) and each block writes one text part file named by its
-first/last graph id — lexicographic file order == global order.
+first/last graph id.  ``_index.json`` is the authoritative part order
+(file-name order matches it except for keys sharing a 48-byte prefix —
+see ``_part_name``).
 """
 
 from __future__ import annotations
@@ -106,16 +108,22 @@ def quads_to_tuples(batch: pd.DataFrame) -> list:
 
 
 def _part_name(first: str, last: str) -> str:
-    """Collision-free, order-preserving part filename: lowercase-hex of
-    the first key's UTF-8 bytes (byte order == hex order) truncated to a
-    filesystem-safe length, plus a hash of the raw first/last keys so
-    distinct blocks can never share a name."""
+    """Collision-safe part filename: lowercase-hex of the first key's
+    UTF-8 bytes (byte order == hex order) truncated to a filesystem-safe
+    length, plus a 64-bit hash of the raw first/last keys so distinct
+    blocks cannot share a name.
+
+    ORDERING CONTRACT: ``_index.json`` is the sole authoritative part
+    order.  Lexicographic listing of part names is best-effort only —
+    two blocks whose first keys share a 48-byte prefix order by the
+    hash tag, not by key — so consumers must read the manifest (as
+    ``read_canonical_nquads`` does) rather than sort the directory."""
     import hashlib
 
     prefix = first.encode("utf-8").hex()[:96]
     tag = hashlib.md5(
         first.encode("utf-8") + b"\x00" + last.encode("utf-8")
-    ).hexdigest()[:8]
+    ).hexdigest()[:16]
     return f"part-{prefix}-{tag}.nq"
 
 
@@ -129,12 +137,11 @@ def write_canonical_nquads(
 
     Deterministic layout regardless of block order: global sort on the
     graph key, then each block writes one part file named by the
-    collision-free, order-preserving hex encoding of its first key
-    (byte-lexicographic order of keys == lexicographic order of hex
-    names), suffixed with a hash of the raw first/last keys so two
-    distinct keys can never map to one filename.  An ``_index.json``
-    manifest records the authoritative part order; the returned list is
-    in corpus order."""
+    collision-safe hex encoding of its first key suffixed with a hash of
+    the raw first/last keys (see ``_part_name``).  The ``_index.json``
+    manifest records the AUTHORITATIVE part order; the returned list is
+    in corpus order and consumers must follow the manifest rather than
+    directory listing order."""
     import json
 
     os.makedirs(out_dir, exist_ok=True)

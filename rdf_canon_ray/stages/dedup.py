@@ -577,6 +577,7 @@ def dup_groups_from_pairs(
     pairs: rd.Dataset,
     num_buckets: int = 64,
     max_rounds: int = 50,
+    jump_after: int = 8,
 ) -> rd.Dataset:
     """Connected components over verified near-dup pairs → one row per
     member node with its min-id representative: ``(doc_id, rep_id)``.
@@ -584,8 +585,12 @@ def dup_groups_from_pairs(
     Distributed min-label propagation: every node starts labeled with
     its own id; each round joins current labels onto the (bidirectional)
     edge list and takes the grouped min of {own label} ∪ {neighbor
-    labels}.  Converges in ≤ diameter rounds (near-dup clusters are
-    shallow); the per-round materialization is the label table, which is
+    labels}.  From round ``jump_after`` on, a pointer-jumping shortcut
+    (``label ← label[label]``, one extra self-join per round) makes
+    convergence O(log diameter), so chain-shaped clusters deeper than
+    ``max_rounds`` still converge; if the loop is somehow exhausted
+    anyway the function RAISES rather than returning wrong components.
+    The per-round materialization is the label table, which is
     output-scale (nodes touching a duplicate pair), never corpus-scale.
     """
     from .joins import hash_join
@@ -636,7 +641,31 @@ def dup_groups_from_pairs(
         ).astype(np.int8)
         return out
 
-    for _ in range(max_rounds):
+    def shortcut(lab: rd.Dataset) -> rd.Dataset:
+        # pointer jumping: label ← label[label].  Labels only decrease
+        # and every label value is a node id present in the table, so
+        # the inner self-join is total and monotone.
+        as_key = lab.map_batches(
+            lambda b: pd.DataFrame(
+                {"label": b["doc_id"].to_numpy(), "_ll": b["label"].to_numpy()}
+            ),
+            batch_format="pandas",
+            batch_size=32768,
+        )
+        j = hash_join(lab, as_key, on="label", num_buckets=num_buckets)
+        return j.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                    "label": b["_ll"].to_numpy().astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=32768,
+        )
+
+    converged = False
+    for rnd in range(max_rounds):
         lab_src = labels.map_batches(
             lambda b: pd.DataFrame(
                 {"src": b["doc_id"].to_numpy(), "label": b["label"].to_numpy()}
@@ -678,9 +707,17 @@ def dup_groups_from_pairs(
             batch_size=32768,
         ).materialize()
         if n_changed == 0:
+            converged = True
             break
-    else:
+        if rnd + 1 >= jump_after:
+            labels = shortcut(labels).materialize()
+    if not converged:
         metrics.incr("dup_groups_unconverged_rounds", 1)
+        raise RuntimeError(
+            f"dup_groups_from_pairs did not converge in {max_rounds} "
+            f"rounds (with pointer jumping from round {jump_after}); "
+            "components would be incorrect — refusing to return them"
+        )
 
     return labels.map_batches(
         lambda b: pd.DataFrame(

@@ -72,7 +72,10 @@ def hash_join(
             f"salt>1 replicates the right side; only inner/left joins "
             f"keep their semantics (got how={how!r})"
         )
-    if broadcast_threshold is not None:
+    if broadcast_threshold is not None and how in ("inner", "left"):
+        # broadcast_join merges per LEFT batch, so right/outer semantics
+        # (emit unmatched right rows exactly once) cannot be preserved —
+        # those fall through to the partitioned join below.
         if right.count() <= broadcast_threshold:
             return broadcast_join(ds=left, small_df=right.to_pandas(),
                                   on=on_cols, how=how)

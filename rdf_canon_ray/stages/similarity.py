@@ -32,6 +32,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _probe_dim(ds: rd.Dataset, vec_col: str) -> int:
+    """Vector dimensionality from the schema when it carries it
+    (fixed_size_list), falling back to a single-row read otherwise."""
+    try:
+        import pyarrow as pa
+
+        field = ds.schema().base_schema.field(vec_col)
+        if pa.types.is_fixed_size_list(field.type):
+            return field.type.list_size
+    except Exception:
+        pass
+    return len(ds.take(1)[0][vec_col])
+
+
 class BatchTopK:
     """Per-batch exact scores → local top-k rows per query."""
 
@@ -50,10 +64,10 @@ class BatchTopK:
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            # top-k with deterministic (score desc, id asc) tie-break
-            idx = np.argpartition(-col, k - 1)[:k]
-            order = np.lexsort((ids[idx], -col[idx]))
-            idx = idx[order]
+            # top-k with deterministic (score desc, id asc) tie-break;
+            # full lexsort (not argpartition) so exact score ties at the
+            # k-th boundary resolve by ascending id, not arbitrarily
+            idx = np.lexsort((ids, -col))[:k]
             out_q.append(np.full(k, qi, np.int64))
             out_id.append(ids[idx])
             out_s.append(col[idx])
@@ -348,9 +362,7 @@ def embedding_near_dup_pairs(
     buckets. Output: (id_a, id_b, score).  Buckets above ``bucket_cap``
     are skipped with the dropped pair count reported via metrics."""
     metrics.ensure()
-    # dim probe from schema-less datasets: read one row
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
+    dim = _probe_dim(ds, vec_col)
     planes_ref = ray.put(make_planes(dim, n_bits, seed))
     signed = ds.map_batches(
         HyperplaneSigner,
@@ -430,26 +442,22 @@ def knn_join(
         vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
         ids = batch[id_col].to_numpy()
         sims = vecs @ rn_l.T  # (n, m)
-        kk = min(k, sims.shape[1])
-        # top-k per row with (score desc, ref id asc) tie-break; ref ids
-        # are pre-sorted so stable argsort on -sims suffices
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_rows = []
-        for i in range(len(ids)):
-            cand = idx[i]
-            order_i = np.lexsort((ids_r[cand], -sims[i, cand]))
-            cand = cand[order_i]
-            out_rows.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": np.full(kk, ids[i]),
-                        "rank": np.arange(1, kk + 1, dtype=np.int64),
-                        "nn_id": ids_r[cand],
-                        "score": np.round(sims[i, cand], 6),
-                    }
-                )
-            )
-        return pd.concat(out_rows, ignore_index=True)
+        n, kk = len(ids), min(k, sims.shape[1])
+        # top-k per row with (score desc, ref id asc) tie-break: ref
+        # columns are pre-sorted by ref id, so a STABLE full argsort on
+        # -sims resolves exact score ties by ascending nn_id — unlike
+        # argpartition, which picks arbitrarily at the k-th boundary.
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
+                "nn_id": ids_r[idx].ravel(),
+                "score": np.round(
+                    np.take_along_axis(sims, idx, axis=1), 6
+                ).ravel(),
+            }
+        )
 
     return ds.map_batches(
         per_batch, batch_format="pandas", batch_size=2048

@@ -501,3 +501,65 @@ def test_shuffle_backbone_matches_pandas(ray_session):
             .reset_index(drop=True)
         )
         assert d_got.equals(d_exp)
+
+
+def test_knn_join_tie_break_on_duplicate_refs(ray_session):
+    """Exact score ties at the k-th boundary must resolve by ascending
+    nn_id (duplicate reference embeddings force the tie)."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.similarity import knn_join
+
+    v = [1.0, 0.0, 0.0]
+    ref_ids = np.array([10, 11, 12, 13])
+    ref_vecs = np.array([v, v, v, [0.0, 1.0, 0.0]])  # three exact ties
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": [0], "embedding": [np.array(v)]})
+    )
+    out = (
+        knn_join(ds, ref_ids, ref_vecs, k=2)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out["nn_id"].tolist() == [10, 11]  # lowest ids among the ties
+
+
+def test_hash_join_broadcast_fallback_respects_how(ray_session):
+    """broadcast_threshold must not hijack right/outer joins (per-batch
+    merge would duplicate unmatched right rows)."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2], "lv": [10, 11, 12]})
+    ).repartition(3)
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 3], "rv": [20, 30]}))
+    out = hash_join(
+        left, right, on="k", how="outer",
+        num_buckets=4, broadcast_threshold=1000,
+    ).to_pandas()
+    # unmatched right row k=3 appears exactly once despite 3 left blocks
+    assert (out["k"] == 3).sum() == 1
+    assert len(out) == 4
+
+
+def test_dup_groups_pointer_jump_converges_deep_chain(ray_session):
+    """A chain deeper than max_rounds converges via pointer jumping."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import dup_groups_from_pairs
+
+    n = 40
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.arange(n - 1) + 200,
+            "id_b": np.arange(1, n) + 200,
+            "jaccard": [0.9] * (n - 1),
+        }
+    )
+    out = dup_groups_from_pairs(
+        rd.from_pandas(pairs), num_buckets=4, max_rounds=12, jump_after=2
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["rep_id"] == 200).all()
