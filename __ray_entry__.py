@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": corpus.media_feature_table,
         "media_feature_sums": corpus.media_feature_sums,
         "media_resized": corpus.media_resized,
+        "media_resized_sums": corpus.media_resized_sums,
         "media_frames": corpus.media_frames,
         "media_stats": corpus.media_stats,
     }
@@ -343,21 +344,44 @@ GROUP BY kind
 """,
         "media_frames": f"""
 WITH v AS (
-  SELECT media_id, OCTET_LENGTH(payload) AS plen, duration_ms,
-         LEAST(8, GREATEST(1, CAST(FLOOR(duration_ms / 1000.0) AS INTEGER)))
-           AS n
+  SELECT media_id, width AS W, height AS H, duration_ms,
+         duration_ms // 1000 AS nf, hex(payload) AS hx
   FROM read_parquet('{media_pq}')
   WHERE kind = 'video' AND duration_ms > 0
 ), f AS (
-  SELECT media_id, plen, duration_ms, n,
-         UNNEST(generate_series(0, n - 1)) AS i
+  SELECT media_id, W, H, duration_ms, nf, hx,
+         UNNEST(generate_series(0, nf - 1)) AS i
   FROM v
 )
 SELECT media_id,
        CAST(i AS INTEGER) AS frame_idx,
-       CAST(FLOOR(i * (CAST(duration_ms AS DOUBLE) / n)) AS INTEGER) AS ts_ms,
-       CAST(LEAST(64, plen - ((i * 37) % plen)) AS BIGINT) AS frame_len
+       CAST(FLOOR(i * (CAST(duration_ms AS DOUBLE) / nf)) AS INTEGER) AS ts_ms,
+       CAST(W * H AS BIGINT) AS frame_len,
+       CAST(list_sum(list_transform(generate_series(0, W * H - 1),
+              b -> CAST(('0x' || substr(hx, 2 * (10 + i * W * H + b) + 1, 2))
+                        AS INT)))
+            AS BIGINT) AS frame_sum
 FROM f
+""",
+        "media_resized_sums": f"""
+WITH img AS (
+  SELECT media_id, width AS W, height AS H, hex(payload) AS hx,
+         9 + LENGTH(CAST(width AS VARCHAR)) + LENGTH(CAST(height AS VARCHAR))
+           AS hdr
+  FROM read_parquet('{media_pq}')
+  WHERE kind = 'image'
+)
+SELECT media_id,
+       CAST(6 AS BIGINT) AS out_w,
+       CAST(4 AS BIGINT) AS out_h,
+       CAST(list_sum(list_transform(generate_series(0, 71), k ->
+         CAST(('0x' || substr(hx,
+            2 * (hdr
+                 + 3 * ((((k // 18) * H) // 4) * W + (((k % 18) // 3) * W) // 6)
+                 + (k % 3)) + 1,
+            2)) AS INT)))
+         AS BIGINT) AS pixel_sum
+FROM img
 """,
     }
     ngram8 = " || ' ' || ".join(
@@ -393,16 +417,25 @@ SELECT doc_id,
        LENGTH(list_intersect(sh, gs)) > 0 AS contaminated
 FROM sh, bench
 """
-    byte_sum = " + ".join(
-        f"CAST('0x' || substr(h, {2 * j + 1}, 2) AS INT)" for j in range(32)
-    )
+    # features are content-byte chunk sums, so the per-row feature sum
+    # equals the byte sum of the decoded content region: PPM pixels
+    # (after the ASCII header), WAV samples (after the 44-byte header),
+    # or the first RCRV video frame (after the 10-byte header).
     extra["media_feature_sums"] = f"""
 WITH m AS (
-  SELECT media_id, kind, payload_sha256 AS h
+  SELECT media_id, kind, hex(payload) AS hx,
+         CASE WHEN kind = 'image'
+                THEN 9 + LENGTH(CAST(width AS VARCHAR))
+                       + LENGTH(CAST(height AS VARCHAR))
+              WHEN kind = 'audio' THEN 44
+              ELSE 10 END AS off,
+         CASE WHEN kind = 'video' THEN 10 + width * height
+              ELSE OCTET_LENGTH(payload) END AS stop
   FROM read_parquet('{media_pq}')
 )
-SELECT media_id, kind, kind = 'image' AS decoded,
-       CAST(CASE WHEN kind = 'image' THEN 2 * ({byte_sum}) ELSE 0 END
+SELECT media_id, kind, TRUE AS decoded,
+       CAST(list_sum(list_transform(generate_series(off, stop - 1),
+              b -> CAST(('0x' || substr(hx, 2 * b + 1, 2)) AS INT)))
             AS BIGINT) AS feature_sum
 FROM m
 """

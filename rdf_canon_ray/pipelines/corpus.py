@@ -126,26 +126,18 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     )
 
 
-MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256_v2.parquet"
+MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256_v3.parquet"
 
 
 def media_corpus_parquet(path: str = MEDIA_PARQUET) -> str:
-    """Persist the deterministic synthetic media corpus so media queries
-    and their DuckDB oracles read the SAME parquet rows.  The payload's
-    sha256 hex rides along as a column (DuckDB 1.0 cannot hash BLOBs),
-    letting the oracle recompute the stub feature math from the digest
-    while the engine hashes the raw payload bytes itself."""
+    """Persist the deterministic synthetic media corpus (decodable
+    PPM/WAV/RCRV payloads — see ``stages.multimodal``) so media queries
+    and their DuckDB oracles read the SAME parquet rows; the oracles
+    recompute decode/resize/feature math byte-for-byte from the payload
+    column via ``hex()``."""
     if not os.path.exists(path):
-        import hashlib
-
-        import pyarrow as pa
-
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = multimodal.synth_media_table(256)
-        digests = [
-            hashlib.sha256(p.as_py()).hexdigest() for p in t["payload"]
-        ]
-        t = t.append_column("payload_sha256", pa.array(digests, pa.string()))
         tmp = path + ".tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
@@ -157,27 +149,67 @@ def _media_ds() -> rd.Dataset:
 
 
 def media_feature_table(sf_dir: str) -> rd.Dataset:
-    """Multimodal plumbing demo over the deterministic synthetic media
-    corpus (decode is stubbed; see stages.multimodal)."""
+    """Content features over the synthetic media corpus — REAL decode:
+    PPM pixels / WAV samples / RCRV first frame → chunk-sum features
+    (see stages.multimodal)."""
     return multimodal.media_features(_media_ds())
 
 
 def media_resized(sf_dir: str) -> rd.Dataset:
-    """Image resize stage over the synthetic media corpus (stub decode,
-    real actor plumbing)."""
+    """Image resize stage over the synthetic media corpus: decode PPM →
+    nearest-neighbor resample → re-encode PPM."""
     return multimodal.resize_images(_media_ds())
+
+
+def media_resized_sums(sf_dir: str, out_w: int = 6, out_h: int = 4) -> rd.Dataset:
+    """Oracle-checkable companion of ``media_resized``: resize every
+    image to a small asymmetric grid and emit the resized-pixel byte
+    sum — DuckDB recomputes the exact nearest-neighbor floor-grid
+    sampling from the ORIGINAL payload bytes, closing the loop on the
+    decode→resize→encode path."""
+    import pyarrow as pa
+
+    resized = multimodal.resize_images(_media_ds(), width=out_w, height=out_h)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = [
+            i for i, (k, ok) in enumerate(
+                zip(batch["kind"].to_pylist(), batch["resized"].to_pylist())
+            )
+            if k == "image" and ok
+        ]
+        sub = batch.take(keep)
+        sums = []
+        for payload in sub["payload"].to_pylist():
+            img = multimodal.decode_ppm(payload)
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "out_w": pa.array([out_w] * len(sub), pa.int64()),
+                "out_h": pa.array([out_h] * len(sub), pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return resized.map_batches(project, batch_format="pyarrow", batch_size=64)
 
 
 def media_frames(sf_dir: str) -> rd.Dataset:
     """Video frame sampling projected to its oracle-checkable view: one
-    row per sampled frame with the frame payload length (the raw frame
-    bytes stay available via ``stages.multimodal.sample_frames``)."""
+    row per sampled frame with the decoded frame's length AND byte sum
+    (the raw frame bytes stay available via
+    ``stages.multimodal.sample_frames``)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     frames = multimodal.sample_frames(_media_ds())
 
     def project(batch: pa.Table) -> pa.Table:
+        sums = [
+            int(np.frombuffer(b, np.uint8).astype(np.int64).sum())
+            for b in batch["frame"].to_pylist()
+        ]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -186,6 +218,7 @@ def media_frames(sf_dir: str) -> rd.Dataset:
                 "frame_len": pc.cast(
                     pc.binary_length(batch["frame"]), pa.int64()
                 ),
+                "frame_sum": pa.array(sums, pa.int64()),
             }
         )
 

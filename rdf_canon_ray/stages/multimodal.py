@@ -1,21 +1,34 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL pure-numpy decode for three self-describing formats:
 
-Image/audio decode libraries are not available in this environment, so
-the *decode kernels* are stubbed (deterministic fake or
-``NotImplementedError``), while everything Ray-side is real and tested:
-schemas, actor-pool signatures, small-batch sizing for large binary
-rows, zero-copy Arrow handling, and output layout.
+* image — binary PPM (``P6``): ASCII header + raw RGB bytes,
+* audio — WAV, 8-bit unsigned PCM mono (44-byte canonical header),
+* video — a documented micro-container ``RCRV``: 4-byte magic +
+  3×uint16-LE (width, height, n_frames) + n_frames grayscale frames of
+  ``width*height`` bytes each.
 
-Swap ``_decode_image_stub`` for a PIL/torchvision call and the stage is
-production-shaped: the actor loads the decoder once (``__init__``), the
-batch path never copies payload bytes through pandas object boxing
-(``batch_format="pyarrow"``).
+No external decoder library is required: headers are parsed and pixel /
+sample bytes lifted with numpy alone, which also makes every kernel
+oracle-checkable byte-for-byte from the payload in SQL.  Payloads that
+do not decode (foreign formats, corrupt bytes) fall back to a
+deterministic sha256-derived feature stub with ``decoded=False`` —
+the pipeline degrades, it does not fail.
+
+PIL, when importable, is available as an ALTERNATIVE image decode path
+behind an explicit ``use_pil=True`` flag only — the default path must
+stay environment-independent so the DuckDB oracles (which recompute the
+pixel math from payload bytes) hold on every machine.
+
+Ray-side shape: actor-pool ``map_batches`` stages with small
+``batch_size`` (payload bytes dominate block memory), zero-copy Arrow
+batches, per-actor setup in ``__init__``.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -24,7 +37,7 @@ import ray.data as rd
 
 from ..util import default_pool
 
-try:  # real decoder when available; this container ships none
+try:  # optional alternative decode path, see module docstring
     from PIL import Image as _PIL_Image  # pragma: no cover
 except ImportError:
     _PIL_Image = None
@@ -33,79 +46,229 @@ MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("kind", pa.string()),        # image | audio | video
-        ("payload", pa.binary()),     # opaque encoded bytes
-        ("width", pa.int32()),        # typed metadata (media-dependent)
+        ("payload", pa.binary()),     # encoded bytes (PPM / WAV / RCRV)
+        ("width", pa.int32()),        # image dims / video frame dims; 0 for audio
         ("height", pa.int32()),
-        ("duration_ms", pa.int32()),
+        ("duration_ms", pa.int32()),  # audio/video; 0 for images
     ]
 )
 
+_RCRV_MAGIC = b"RCRV"
+_RCRV_HEADER = 10  # magic(4) + 3 × uint16-LE
 
+
+# ------------------------------------------------------------- codecs
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8, or None."""
+    if not payload.startswith(b"P6"):
+        return None
+    vals, i, n = [], 2, len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):  # comment to end of line
+            while i < n and payload[i] not in b"\r\n":
+                i += 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < n and ord("0") <= payload[j] <= ord("9"):
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or vals[2] != 255 or i >= n:
+        return None
+    i += 1  # exactly one whitespace byte after maxval
+    w, h = vals[0], vals[1]
+    if w <= 0 or h <= 0 or len(payload) - i != w * h * 3:
+        return None
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i).reshape(
+        h, w, 3
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """uint8 samples → WAV (PCM 8-bit unsigned mono), 44-byte header."""
+    data = np.ascontiguousarray(samples, dtype=np.uint8).tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray | None:
+    """WAV (PCM 8-bit unsigned mono) → uint8 sample array, or None."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = struct.unpack("<IHHIIHH", payload[16:36])
+    if payload[12:16] != b"fmt " or fmt[1] != 1 or fmt[2] != 1 or fmt[6] != 8:
+        return None
+    if payload[36:40] != b"data":
+        return None
+    n = struct.unpack("<I", payload[40:44])[0]
+    if len(payload) - 44 != n:
+        return None
+    return np.frombuffer(payload, np.uint8, count=n, offset=44)
+
+
+def encode_rcrv(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w) uint8 grayscale frames → RCRV container."""
+    nf, h, w = frames.shape
+    return (
+        _RCRV_MAGIC
+        + struct.pack("<HHH", w, h, nf)
+        + np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+    )
+
+
+def decode_rcrv(payload: bytes) -> np.ndarray | None:
+    """RCRV container → (n_frames, h, w) uint8, or None."""
+    if len(payload) < _RCRV_HEADER or payload[:4] != _RCRV_MAGIC:
+        return None
+    w, h, nf = struct.unpack("<HHH", payload[4:_RCRV_HEADER])
+    if w <= 0 or h <= 0 or nf <= 0:
+        return None
+    if len(payload) - _RCRV_HEADER != w * h * nf:
+        return None
+    return np.frombuffer(
+        payload, np.uint8, count=w * h * nf, offset=_RCRV_HEADER
+    ).reshape(nf, h, w)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with floor-grid sampling
+    (``src_y = (y * H) // out_h``) — pure integer math, reproducible in
+    SQL from the payload bytes."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[yi][:, xi]
+
+
+# ------------------------------------------------------- synth corpus
 def synth_media_table(n: int = 256, seed: int = 5) -> pa.Table:
-    """Deterministic fake media corpus (payload = seeded bytes)."""
+    """Deterministic synthetic media corpus with DECODABLE payloads:
+    PPM images (16–32 px), 8-bit PCM WAV audio (8 kHz), RCRV video
+    (8×8 grayscale frames, 1 fps).  ``width``/``height``/``duration_ms``
+    metadata columns are truthful for the encoded content."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
-    payloads = [rng.bytes(rng.randint(64, 4096)) for _ in range(n)]
+    payloads, widths, heights, durations = [], [], [], []
+    for kind in kinds:
+        if kind == "image":
+            w, h = int(rng.randint(16, 33)), int(rng.randint(16, 33))
+            payloads.append(
+                encode_ppm(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+            )
+            widths.append(w)
+            heights.append(h)
+            durations.append(0)
+        elif kind == "audio":
+            ns = int(rng.randint(2000, 24000))
+            payloads.append(
+                encode_wav(rng.randint(0, 256, ns).astype(np.uint8))
+            )
+            widths.append(0)
+            heights.append(0)
+            durations.append(ns * 1000 // 8000)
+        else:  # video: 1 fps, 1..8 frames of 8×8 grayscale
+            nf = int(rng.randint(1, 9))
+            payloads.append(
+                encode_rcrv(rng.randint(0, 256, (nf, 8, 8)).astype(np.uint8))
+            )
+            widths.append(8)
+            heights.append(8)
+            durations.append(nf * 1000)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "kind": pa.array(kinds),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(rng.randint(16, 1920, n).astype(np.int32)),
-            "height": pa.array(rng.randint(16, 1080, n).astype(np.int32)),
-            "duration_ms": pa.array(rng.randint(0, 60000, n).astype(np.int32)),
+            "width": pa.array(np.asarray(widths, np.int32)),
+            "height": pa.array(np.asarray(heights, np.int32)),
+            "duration_ms": pa.array(np.asarray(durations, np.int32)),
         }
     )
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Image decode → 8×8×3 float thumbnail.
+# ------------------------------------------------------------ features
+def _chunk_sums(content: np.ndarray, dim: int) -> np.ndarray:
+    """Coarse content profile: byte ``j`` contributes to chunk
+    ``(j * dim) // n`` — ``dim`` contiguous spans whose sums partition
+    the total byte sum exactly (the oracle checks that total)."""
+    x = np.asarray(content, np.int64).ravel()
+    n = x.size
+    if n == 0:
+        return np.zeros(dim, np.float32)
+    idx = (np.arange(n, dtype=np.int64) * dim) // n
+    return np.bincount(idx, weights=x, minlength=dim).astype(np.float32)
 
-    When PIL is importable the payload is decoded for real (open →
-    RGB → 8×8 resize); in this container (no decoder libs) the STUB
-    path derives a deterministic fake thumbnail from the payload bytes
-    so tests can assert stability.  The synthetic corpus carries random
-    bytes, so even with PIL present undecodable payloads fall back to
-    the stub rather than failing the stage."""
-    if _PIL_Image is not None:  # pragma: no cover - PIL absent here
-        try:
-            img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
-            return np.asarray(
-                img.resize((8, 8)), dtype=np.float32
-            )
-        except Exception:
-            pass  # undecodable bytes → deterministic fallback below
+
+def _sha_fallback(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic feature stub for UNdecodable payloads: the sha256
+    digest bytes tiled to ``dim`` floats (legacy stub math, kept so
+    foreign-format corpora still flow with ``decoded=False``)."""
     h = hashlib.sha256(payload).digest()
-    base = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-    return np.resize(base, (8, 8, 3))  # fake 8x8 RGB "thumbnail"
+    return np.resize(np.frombuffer(h, np.uint8).astype(np.float32), dim)
 
 
 class MediaFeatureExtractor:
     """Actor-pool stage: decode payloads and emit fixed-size feature
-    vectors. Small ``batch_size`` is mandatory — payload bytes dominate
-    block memory (see module docstring)."""
+    vectors (content-byte chunk sums).  Small ``batch_size`` is
+    mandatory — payload bytes dominate block memory.
 
-    def __init__(self, feature_dim: int = 64):
+    ``use_pil=True`` switches image decode to PIL when importable
+    (alternative path only; the default is the pure-numpy decoder so
+    results stay environment-independent — see module docstring)."""
+
+    def __init__(self, feature_dim: int = 64, use_pil: bool = False):
         self.feature_dim = feature_dim
-        # Real version: self.model = load_model(...) — once per actor.
+        self.use_pil = bool(use_pil) and _PIL_Image is not None
+
+    def _content(self, kind: str, payload: bytes) -> np.ndarray | None:
+        if kind == "image":
+            if self.use_pil:  # pragma: no cover - PIL absent here
+                try:
+                    img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+                    return np.asarray(img, dtype=np.uint8).ravel()
+                except Exception:
+                    return None
+            img = decode_ppm(payload)
+            return None if img is None else img.ravel()
+        if kind == "audio":
+            return decode_wav(payload)
+        if kind == "video":
+            frames = decode_rcrv(payload)
+            return None if frames is None else frames[0].ravel()
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        widths = batch["width"].to_pylist()
-        heights = batch["height"].to_pylist()
-        feats = []
-        ok = []
-        for kind, payload, w, h in zip(kinds, payloads, widths, heights):
-            if kind == "image":
-                thumb = _decode_image_stub(payload, w, h)
-                v = np.resize(thumb.ravel(), self.feature_dim)
-                feats.append(v.astype(np.float32))
-                ok.append(True)
-            else:
-                # audio/video decode not implemented in this environment
-                feats.append(np.zeros(self.feature_dim, np.float32))
+        feats, ok = [], []
+        for kind, payload in zip(kinds, payloads):
+            content = self._content(kind, payload)
+            if content is None:
+                feats.append(_sha_fallback(payload, self.feature_dim))
                 ok.append(False)
+            else:
+                feats.append(_chunk_sums(content, self.feature_dim))
+                ok.append(True)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -118,10 +281,12 @@ class MediaFeatureExtractor:
         )
 
 
-def media_features(ds: rd.Dataset, feature_dim: int = 64) -> rd.Dataset:
+def media_features(
+    ds: rd.Dataset, feature_dim: int = 64, use_pil: bool = False
+) -> rd.Dataset:
     return ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"feature_dim": feature_dim},
+        fn_constructor_kwargs={"feature_dim": feature_dim, "use_pil": use_pil},
         batch_format="pyarrow",
         batch_size=64,          # large binary rows → small batches
         concurrency=default_pool(cap=8),
@@ -129,28 +294,33 @@ def media_features(ds: rd.Dataset, feature_dim: int = 64) -> rd.Dataset:
     )
 
 
+# -------------------------------------------------------------- resize
 class ImageResizer:
-    """Actor-pool resize stage (STUB decode/encode — the Ray plumbing is
-    real: pyarrow binary in/out, small batches, per-actor setup). A real
-    pipeline swaps the stub for PIL ``Image.resize``."""
+    """Actor-pool resize stage: decode PPM → nearest-neighbor resample
+    (floor grid, integer math — SQL-reproducible) → re-encode PPM.
+    Undecodable image payloads keep the legacy deterministic
+    byte-resample stub with ``resized=False``."""
 
-    def __init__(self, width: int = 64, height: int = 64):
+    def __init__(self, width: int = 64, height: int = 64, use_pil: bool = False):
         self.width = width
         self.height = height
-        # Real version: initialize codec/threadpool once per actor.
+        self.use_pil = bool(use_pil) and _PIL_Image is not None
 
-    def _resize_stub(self, payload: bytes) -> bytes:
-        # Real path when PIL is importable: decode → grayscale resize →
-        # raw w*h bytes (same output contract as the stub). Otherwise a
-        # deterministic fake: resample payload bytes to w*h (stands in
-        # for decoded-pixels → resize → re-encode).
-        n = self.width * self.height
-        if _PIL_Image is not None:  # pragma: no cover - PIL absent here
+    def _resize(self, payload: bytes) -> bytes | None:
+        if self.use_pil:  # pragma: no cover - PIL absent here
             try:
-                img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
-                return img.resize((self.width, self.height)).tobytes()
+                img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+                arr = np.asarray(img, dtype=np.uint8)
             except Exception:
-                pass  # undecodable bytes → deterministic fallback
+                return None
+        else:
+            arr = decode_ppm(payload)
+            if arr is None:
+                return None
+        return encode_ppm(resize_nearest(arr, self.width, self.height))
+
+    def _stub(self, payload: bytes) -> bytes:
+        n = self.width * self.height
         if not payload:
             return b"\x00" * n
         reps = (n // len(payload)) + 1
@@ -161,12 +331,13 @@ class ImageResizer:
         payloads = batch["payload"].to_pylist()
         out_payloads, ok = [], []
         for kind, payload in zip(kinds, payloads):
-            if kind == "image":
-                out_payloads.append(self._resize_stub(payload))
-                ok.append(True)
-            else:
-                out_payloads.append(b"")
+            resized = self._resize(payload) if kind == "image" else None
+            if resized is None:
+                out_payloads.append(self._stub(payload) if kind == "image" else b"")
                 ok.append(False)
+            else:
+                out_payloads.append(resized)
+                ok.append(True)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -179,22 +350,30 @@ class ImageResizer:
         )
 
 
-def resize_images(ds: rd.Dataset, width: int = 64, height: int = 64) -> rd.Dataset:
+def resize_images(
+    ds: rd.Dataset, width: int = 64, height: int = 64, use_pil: bool = False
+) -> rd.Dataset:
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"width": width, "height": height},
+        fn_constructor_kwargs={
+            "width": width, "height": height, "use_pil": use_pil,
+        },
         batch_format="pyarrow",
         batch_size=64,
         concurrency=default_pool(cap=8),
     )
 
 
-def sample_frames(ds: rd.Dataset, fps_target: float = 1.0, max_frames: int = 8) -> rd.Dataset:
-    """Frame sampling for video rows: one output row per sampled frame at
-    ``fps_target`` (capped at ``max_frames``), deterministic timestamps
-    from ``duration_ms``. Frame decode is stubbed (payload slice stands
-    in for the decoded frame); the row-explosion plumbing — the part that
-    matters for block sizing at scale — is real."""
+# -------------------------------------------------------------- frames
+def sample_frames(
+    ds: rd.Dataset, fps_target: float = 1.0, max_frames: int = 8
+) -> rd.Dataset:
+    """Frame sampling for video rows: one output row per sampled frame
+    at ``fps_target`` (capped at ``max_frames`` and the frames actually
+    present), deterministic timestamps from ``duration_ms``, REAL frame
+    bytes decoded from the RCRV container.  Undecodable video payloads
+    fall back to the legacy deterministic payload-slice stub so foreign
+    corpora still flow."""
 
     def explode(batch: pa.Table) -> pa.Table:
         media_ids, frame_idx, ts_ms, blobs = [], [], [], []
@@ -207,14 +386,19 @@ def sample_frames(ds: rd.Dataset, fps_target: float = 1.0, max_frames: int = 8) 
             if kind != "video" or dur <= 0:
                 continue
             n = min(max_frames, max(1, int(dur / 1000 * fps_target)))
+            frames = decode_rcrv(payload)
+            if frames is not None:
+                n = min(n, len(frames))
             step = dur / n
             for i in range(n):
                 media_ids.append(mid)
                 frame_idx.append(i)
                 ts_ms.append(int(i * step))
-                # stub "decoded frame": deterministic payload slice
-                a = (i * 37) % max(1, len(payload))
-                blobs.append(payload[a : a + 64])
+                if frames is not None:
+                    blobs.append(frames[i].tobytes())
+                else:  # legacy stub slice for undecodable payloads
+                    a = (i * 37) % max(1, len(payload))
+                    blobs.append(payload[a : a + 64])
         return pa.table(
             {
                 "media_id": pa.array(media_ids, pa.int64()),
@@ -227,6 +411,7 @@ def sample_frames(ds: rd.Dataset, fps_target: float = 1.0, max_frames: int = 8) 
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=64)
 
 
+# --------------------------------------------------------------- stats
 def media_size_stats(ds: rd.Dataset) -> rd.Dataset:
     """Pure-Arrow metadata aggregation (no payload touch): per kind,
     count + total payload bytes. Column pruning means the payload column

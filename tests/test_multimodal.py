@@ -1,0 +1,130 @@
+"""Pure-numpy media codecs (PPM / WAV / RCRV), nearest-neighbor resize,
+and the feature math that the DuckDB oracles recompute byte-for-byte."""
+
+import numpy as np
+import pytest
+
+from rdf_canon_ray.stages.multimodal import (
+    MediaFeatureExtractor,
+    _chunk_sums,
+    decode_ppm,
+    decode_rcrv,
+    decode_wav,
+    encode_ppm,
+    encode_rcrv,
+    encode_wav,
+    resize_nearest,
+    synth_media_table,
+)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    payload = encode_ppm(img)
+    assert payload.startswith(b"P6\n7 5\n255\n")
+    out = decode_ppm(payload)
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_ppm_rejects_malformed():
+    assert decode_ppm(b"") is None
+    assert decode_ppm(b"JUNKBYTES") is None
+    assert decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 11) is None  # short data
+    assert decode_ppm(b"P6\n2 2\n254\n" + b"\x00" * 12) is None  # maxval
+    # comment in header is tolerated
+    img = np.zeros((2, 2, 3), np.uint8)
+    with_comment = b"P6\n# c\n2 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+
+def test_wav_roundtrip():
+    samples = np.arange(256, dtype=np.uint8)
+    payload = encode_wav(samples)
+    assert len(payload) == 44 + 256
+    out = decode_wav(payload)
+    assert out is not None and np.array_equal(out, samples)
+    assert decode_wav(payload[:40]) is None
+    assert decode_wav(b"RIFFxxxxNOPE" + payload[12:]) is None
+
+
+def test_rcrv_roundtrip():
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (3, 4, 6)).astype(np.uint8)
+    payload = encode_rcrv(frames)
+    out = decode_rcrv(payload)
+    assert out is not None and np.array_equal(out, frames)
+    assert decode_rcrv(payload[:-1]) is None
+    assert decode_rcrv(b"XXXX" + payload[4:]) is None
+
+
+def test_resize_nearest_floor_grid():
+    """resize uses src_y = (y*H)//out_h — checked by hand on a 4×4."""
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_nearest(img, 2, 2)
+    # y grid: (0*4)//2=0, (1*4)//2=2 ; x grid likewise
+    assert np.array_equal(out, img[[0, 2]][:, [0, 2]])
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert np.array_equal(up[0, 0], img[0, 0]) and np.array_equal(
+        up[7, 7], img[3, 3]
+    )
+
+
+def test_chunk_sums_partition_total():
+    x = np.arange(1000) % 251
+    f = _chunk_sums(x, 64)
+    assert len(f) == 64
+    assert int(f.sum()) == int(x.sum())
+    # fewer bytes than chunks still partitions the total
+    small = np.array([10, 20, 30])
+    fs = _chunk_sums(small, 64)
+    assert int(fs.sum()) == 60 and len(fs) == 64
+
+
+def test_extractor_fallback_for_undecodable():
+    import pyarrow as pa
+
+    ex = MediaFeatureExtractor(feature_dim=64)
+    batch = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "kind": pa.array(["image", "audio"]),
+            "payload": pa.array([b"not a ppm", b"not a wav"], pa.binary()),
+        }
+    )
+    out = ex(batch)
+    assert out["decoded"].to_pylist() == [False, False]
+    assert all(len(f) == 64 for f in out["feature"].to_pylist())
+
+
+def test_synth_corpus_all_decodable():
+    t = synth_media_table(64, seed=9)
+    for kind, payload, w, h, dur in zip(
+        t["kind"].to_pylist(),
+        t["payload"].to_pylist(),
+        t["width"].to_pylist(),
+        t["height"].to_pylist(),
+        t["duration_ms"].to_pylist(),
+    ):
+        if kind == "image":
+            img = decode_ppm(payload)
+            assert img is not None and img.shape == (h, w, 3)
+        elif kind == "audio":
+            s = decode_wav(payload)
+            assert s is not None and dur == len(s) * 1000 // 8000
+        else:
+            fr = decode_rcrv(payload)
+            assert fr is not None and fr.shape == (dur // 1000, h, w)
+
+
+def test_pil_decode_parity_when_importable():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    via_pil = np.asarray(
+        PIL_Image.open(io.BytesIO(encode_ppm(img))).convert("RGB")
+    )
+    assert np.array_equal(via_pil, decode_ppm(encode_ppm(img)))

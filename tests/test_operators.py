@@ -181,14 +181,30 @@ def test_lsh_topk_subset_of_bucket(ray_session):
     assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
 
 
-def test_media_features_stub(ray_session):
+def test_media_features_real_decode(ray_session):
+    """All three media kinds (PPM/WAV/RCRV) decode for real: every row
+    is decoded=True and the feature sum equals the content byte sum."""
+    import pyarrow.parquet as pq_mod
+
     from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages import multimodal
 
     out = corpus.media_feature_table(SF).to_pandas()
     assert len(out) == 256
-    assert out[out["kind"] == "image"]["decoded"].all()
-    assert (~out[out["kind"] != "image"]["decoded"]).all()
+    assert out["decoded"].all()
     assert out["feature"].map(len).eq(64).all()
+    # cross-check one row per kind against a direct decode
+    raw = pq_mod.read_table(corpus.media_corpus_parquet()).to_pandas()
+    merged = out.merge(raw, on=["media_id", "kind"])
+    for kind, content_of in [
+        ("image", lambda p: multimodal.decode_ppm(p).ravel()),
+        ("audio", multimodal.decode_wav),
+        ("video", lambda p: multimodal.decode_rcrv(p)[0].ravel()),
+    ]:
+        row = merged[merged["kind"] == kind].iloc[0]
+        assert int(sum(row["feature"])) == int(
+            content_of(row["payload"]).astype(np.int64).sum()
+        )
     # deterministic across runs
     out2 = corpus.media_feature_table(SF).to_pandas()
     a = out.sort_values("media_id")["feature"].map(tuple).tolist()
@@ -250,12 +266,15 @@ def test_ivf_topk_recall(ray_session):
 
 def test_media_resize_and_frames(ray_session):
     from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages.multimodal import decode_ppm
 
     rz = corpus.media_resized(SF).to_pandas()
     assert len(rz) == 256
     img = rz[rz["kind"] == "image"]
     assert img["resized"].all()
-    assert img["payload"].map(len).eq(64 * 64).all()
+    # output payloads are valid 64×64 PPMs
+    decoded = img["payload"].map(decode_ppm)
+    assert decoded.map(lambda a: a is not None and a.shape == (64, 64, 3)).all()
     assert (~rz[rz["kind"] != "image"]["resized"]).all()
 
     fr = corpus.media_frames(SF).to_pandas()
