@@ -301,55 +301,81 @@ def knn_refset(sf_dir: str, k: int = 5, n_ref: int = 200) -> rd.Dataset:
     return similarity.knn_join(_embeddings(sf_dir), ref_ids, ref_vecs, k=k)
 
 
-def dedup_clean(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+def dedup_clean(
+    sf_dir: str,
+    threshold: float = 0.5,
+    broadcast_max: int = 1_000_000,
+) -> rd.Dataset:
     """End-to-end corpus dedup: word-3-gram near-dup groups → keep only
     each cluster's min-id representative (plus all unduplicated docs).
 
-    The group table is output-scale (one row per document that touches a
-    near-dup pair), so collecting it to build the broadcast drop-set is
-    the standard small-side pattern, not a corpus materialization; the
-    corpus itself streams through one map-only anti-join filter.
+    The drop-set (group members that are not their cluster's rep) is
+    usually output-scale, so it is broadcast when it has at most
+    ``broadcast_max`` rows (one map-only anti-join filter over the
+    corpus).  A heavily duplicated corpus can make it corpus-scale —
+    above the gate the filter switches to a distributed co-partitioned
+    anti-join (``partitioned_anti_join``) with no driver-side set.
 
     Output: (doc_id) of the kept documents."""
+    import pandas as pd
     import ray
 
     from ..stages.dedup import dup_groups_from_pairs
-    from ..stages.joins import anti_join_filter
+    from ..stages.joins import anti_join_filter, partitioned_anti_join
+    from ..util import default_buckets
 
     groups = dup_groups_from_pairs(
         ngram_jaccard_pairs(sf_dir, threshold=threshold)
-    ).to_pandas()
-    drop = set(
-        groups.loc[groups["doc_id"] != groups["rep_id"], "doc_id"].tolist()
     )
-    drop_ref = ray.put(drop)
-    kept = anti_join_filter(_docs(sf_dir), "doc_id", drop_ref)
-    import pandas as pd
-
-    return kept.map_batches(
-        lambda b: pd.DataFrame({"doc_id": b["doc_id"].to_numpy()}),
+    drop_ds = groups.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b.loc[b["doc_id"] != b["rep_id"], "doc_id"].to_numpy()}
+        ),
         batch_format="pandas",
         batch_size=32768,
+    ).materialize()
+    # only doc_id leaves the parquet — the kept-ids output needs no text
+    ids = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    if drop_ds.count() <= broadcast_max:
+        drop_ref = ray.put(set(drop_ds.to_pandas()["doc_id"].tolist()))
+        return anti_join_filter(ids, "doc_id", drop_ref)
+    return partitioned_anti_join(
+        ids, drop_ds, on="doc_id", num_buckets=default_buckets()
     )
 
 
 def pack_sequences(
-    sf_dir: str, budget: int = 256, num_packs: int = 16
+    sf_dir: str,
+    budget: int = 256,
+    num_packs: int = 16,
+    sub_size: int = 8192,
 ) -> rd.Dataset:
     """GPT-style sequence packing: documents are routed to ``num_packs``
     content-stable packing streams (md5 of doc_id — reproducible in
     SQL), and within each stream (doc_id order) tokens are concatenated
-    and cut every ``budget`` tokens.  Each document's placement is fully
-    determined by the cumulative token count before it, so the packing
-    parallelizes per stream with no sequential scan across the corpus.
+    and cut every ``budget`` tokens.
+
+    Two-level offsets keep this scale-safe — NO task ever sees a whole
+    stream: each stream is split into doc_id sub-ranges of ``sub_size``
+    docs, per-sub-range token subtotals are aggregated distributedly,
+    the tiny (n_docs / sub_size row) subtotal table is prefix-summed on
+    the driver and broadcast, and the final exchange is keyed on
+    (stream, sub-range) so each task cumsums at most ``sub_size`` docs
+    on top of its broadcast base.  At larger corpora, raise ``sub_size``
+    so the subtotal table stays driver-small (it shrinks the work table
+    by ``sub_size``×).
 
     Output: (doc_id, pack_bucket, seq_idx, tok_offset) — the training
     sequence index the document STARTS in and its offset within it."""
     import hashlib
 
     import pandas as pd
+    import ray
 
-    from ..stages.shuffle import bucketed_map_groups
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+    from ..util import default_buckets
 
     docs = _docs(sf_dir)
 
@@ -359,19 +385,54 @@ def pack_sequences(
             int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % num_packs
             for d in batch["doc_id"]
         ]
+        ids = batch["doc_id"].to_numpy()
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].to_numpy(),
+                "doc_id": ids,
                 "pack_bucket": np.asarray(buckets, np.int64),
+                "sub": ids // sub_size,  # doc_id-ordered sub-ranges
                 "n_tok": n_tok.to_numpy(),
             }
         )
 
+    # the routed table holds 4 int columns per doc (~1000× smaller than
+    # the corpus) — materialize it so tokenization runs once, not twice
+    routed = docs.map_batches(
+        route, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    # level 1: distributed per-(stream, sub-range) token subtotals →
+    # tiny table → driver prefix sum per stream → broadcast base map
+    totals = grouped_agg(
+        routed,
+        ["pack_bucket", "sub"],
+        {"n_tok": "sum"},
+        num_buckets=default_buckets(),
+    ).to_pandas()
+    totals = totals.sort_values(["pack_bucket", "sub"], kind="mergesort")
+    base = (
+        totals.groupby("pack_bucket")["n_tok"].cumsum() - totals["n_tok"]
+    ).to_numpy()
+    base_ref = ray.put(
+        {
+            (int(pb), int(sb)): int(b)
+            for pb, sb, b in zip(totals["pack_bucket"], totals["sub"], base)
+        }
+    )
+
+    # level 2: each (stream, sub-range) group cumsums ≤ sub_size docs
+    # on top of its broadcast base — bounded per-task work at any scale
     def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
         outs = []
-        for pb, sub in bucket.groupby("pack_bucket", sort=False):
+        for (pb, sb), sub in bucket.groupby(
+            ["pack_bucket", "sub"], sort=False
+        ):
             b = sub.sort_values("doc_id", kind="mergesort")
-            start = b["n_tok"].cumsum().shift(fill_value=0).to_numpy()
+            start = (
+                b["n_tok"].cumsum().shift(fill_value=0).to_numpy()
+                + bases[(int(pb), int(sb))]
+            )
             outs.append(
                 pd.DataFrame(
                     {
@@ -385,10 +446,11 @@ def pack_sequences(
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(
-        docs.map_batches(route, batch_format="pandas", batch_size=8192),
-        ["pack_bucket"],
+        routed,
+        ["pack_bucket", "sub"],
         pack,
-        num_buckets=num_packs,
+        num_buckets=default_buckets(),
+        batch_size=8192,
     )
 
 

@@ -176,6 +176,46 @@ def anti_join_filter(ds: rd.Dataset, col: str, keys_ref) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas", batch_size=32768)
 
 
+def partitioned_anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str] | str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Anti join for a LARGE right side: keep left rows whose key does
+    not appear in ``right``.  Both sides co-partition by key hash (the
+    right side ships only its key columns), and an ``isin`` filter runs
+    per bucket — no driver-side key set, unlike ``anti_join_filter``."""
+    on_cols: List[str] = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left.schema().names)
+    combined = left_cols + ["_side"]
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_side"] = "l"
+        return batch.reindex(columns=combined)
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[on_cols].drop_duplicates().copy()
+        out["_side"] = "r"
+        return out.reindex(columns=combined)
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def bucket_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket.loc[bucket["_side"] == "l", left_cols]
+        r = bucket.loc[bucket["_side"] == "r", on_cols]
+        if len(on_cols) == 1:
+            keep = ~l[on_cols[0]].isin(r[on_cols[0]])
+            return l.loc[keep]
+        m = l.merge(r, on=on_cols, how="left", indicator=True)
+        return m.loc[m["_merge"] == "left_only", left_cols]
+
+    return bucketed_map_groups(tagged, on_cols, bucket_fn, num_buckets)
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -153,20 +153,35 @@ class Fingerprint:
         self.base = base
         self.mod = mod
         self.basek = pow(base, shingle - 1, mod)
+        self._powers = np.array(
+            [pow(base, shingle - 1 - j, mod) for j in range(shingle)],
+            dtype=np.uint64,
+        )
 
     def _rolling_min(self, text: str) -> int:
-        k, base, mod = self.k, self.base, self.mod
+        """Min over all k-char windows of the polynomial hash
+        Σ cp_j · base^(k-1-j) mod (2^61−1), vectorized: sliding windows
+        of codepoints × a power vector split into 30-bit halves so every
+        intermediate fits uint64 exactly (cp < 2^21, power-half < 2^31,
+        window sums < 2^56), with the Mersenne fold 2^61 ≡ 1 closing the
+        high half.  Bit-identical to the scalar Rabin-Karp recurrence
+        (and to the SQL list_reduce oracle)."""
+        k, mod = self.k, self.mod
         if len(text) < k:
             return _md5_64(text)
-        h = 0
-        for c in text[:k]:
-            h = (h * base + ord(c)) % mod
-        mn = h
-        for i in range(k, len(text)):
-            h = ((h - ord(text[i - k]) * self.basek) * base + ord(text[i])) % mod
-            if h < mn:
-                mn = h
-        return mn
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        win = np.lib.stride_tricks.sliding_window_view(cp, k)
+        lo = self._powers & np.uint64((1 << 30) - 1)
+        hi = self._powers >> np.uint64(30)
+        s_lo = (win * lo[None, :]).sum(axis=1, dtype=np.uint64)  # < 2^55
+        s_hi = (win * hi[None, :]).sum(axis=1, dtype=np.uint64)  # < 2^56
+        # (s_hi·2^30) mod M with s_hi = u·2^31 + v:  u·2^61 + v·2^30 ≡ u + v·2^30
+        u = s_hi >> np.uint64(31)
+        v = s_hi & np.uint64((1 << 31) - 1)
+        h = (u + (v << np.uint64(30)) + s_lo) % np.uint64(mod)  # sum < 2^62
+        return int(h.min())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[self.text_col]

@@ -582,3 +582,41 @@ def test_dup_groups_pointer_jump_converges_deep_chain(ray_session):
     ).to_pandas()
     assert len(out) == n
     assert (out["rep_id"] == 200).all()
+
+
+def test_pack_sequences_two_level_offsets(ray_session):
+    """Packing output is invariant to sub_size (the scale knob that
+    bounds per-task work): tiny sub-ranges — many groups per stream, no
+    task sees a whole stream — must reproduce the one-shot result."""
+    from rdf_canon_ray.pipelines import corpus
+
+    whole = (
+        corpus.pack_sequences(SF, sub_size=1 << 40)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    split = (
+        corpus.pack_sequences(SF, sub_size=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert whole.equals(split)
+    # sub_size=7 really splits streams into many sub-ranges
+    assert whole["doc_id"].max() // 7 >= 10
+
+
+def test_dedup_clean_distributed_drop_path(ray_session):
+    """Forcing the drop-set over the broadcast gate must route through
+    the co-partitioned anti-join and return the identical kept set."""
+    from rdf_canon_ray.pipelines import corpus
+
+    via_broadcast = sorted(
+        corpus.dedup_clean(SF).to_pandas()["doc_id"].tolist()
+    )
+    via_distributed = sorted(
+        corpus.dedup_clean(SF, broadcast_max=0).to_pandas()["doc_id"].tolist()
+    )
+    assert via_broadcast == via_distributed
+    assert len(via_broadcast) > 0
