@@ -26,6 +26,25 @@ ensure_importable()
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _sliding_sql(slide_min: int, n_windows: int) -> str:
+    """Sliding-window oracle for any (slide, window/slide) pair."""
+    return f"""
+WITH g AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL {slide_min} MINUTE, ts) AS grid
+  FROM events
+), rep AS (
+  SELECT event_type, value,
+         grid - (j * INTERVAL {slide_min} MINUTE) AS window_start
+  FROM (SELECT *, UNNEST(generate_series(0, {n_windows - 1})) AS j FROM g)
+)
+SELECT event_type, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM rep GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: transcripts → extraction → linking →
     per-graph RDFC-1.0 canonicalization. Returns the canonical-graphs
@@ -67,6 +86,30 @@ def _skewed_graphs(sf_dir: str) -> Any:
     return skewed_canonical_graphs(sf_dir)
 
 
+def _partitioned_sizes(sf_dir: str) -> Any:
+    """Invariant view of the MAP-ONLY flagship path (conv-partitioned
+    storage): same derivable (graph_id, n_quads, n_bnodes, status)
+    formulas as ``kg_canonical_sizes``, so the zero-shuffle production
+    layout is oracle-checked end to end, not only byte-compared to the
+    shuffle path in pytest."""
+    from rdf_canon_ray.pipelines import kg
+
+    ds = kg.canonical_graphs_partitioned(sf_dir)
+
+    def project(batch):
+        return batch[["graph_id", "n_quads", "n_bnodes", "status"]]
+
+    return ds.map_batches(project, batch_format="pandas", batch_size=8192)
+
+
+def _skewed_sizes(sf_dir: str) -> Any:
+    """Invariant view of the skewed run, oracle-checked against the
+    generator's persisted per-conversation turn counts."""
+    from rdf_canon_ray.transcripts.gen_skewed import skewed_canonical_sizes
+
+    return skewed_canonical_sizes(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_canon_ray.pipelines import analytics, corpus, kg
 
@@ -81,11 +124,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, hash_name="sha384"
         ),
         "kg_canonical_partitioned": lambda sf: kg.canonical_graphs_partitioned(sf),
+        "kg_canonical_partitioned_sizes": _partitioned_sizes,
         "kg_canonical_sizes": lambda sf: kg.canonical_sizes(sf),
         "rdfc_labels": lambda sf: kg.label_invariants(sf),
         "rdfc_label_maps": lambda sf: kg.canonical_labels_dataset(sf),
         "w3c_conformance": _w3c_conformance,
         "kg_skewed_graphs": _skewed_graphs,
+        "kg_skewed_sizes": _skewed_sizes,
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
@@ -98,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
+        "events_sliding30": lambda sf: analytics.events_sliding(
+            sf, window_s=1800, slide_s=600
+        ),
         "top_terms": analytics.top_terms,
         "doc_freq": analytics.doc_freq,
         "events_price_band": analytics.events_price_band,
@@ -138,8 +186,10 @@ def oracle_sql() -> dict[str, str]:
     from rdf_canon_ray.pipelines.conformance import manifest_kind_counts
     from rdf_canon_ray.pipelines.corpus import media_corpus_parquet
     from rdf_canon_ray.stages.text import _LANG_PROFILES, _STOP_EN
+    from rdf_canon_ray.transcripts.gen_skewed import skewed_lengths_parquet
 
     media_pq = media_corpus_parquet()  # same parquet the media queries read
+    skew_pq = skewed_lengths_parquet()  # generator ground truth for skew
     kinds = manifest_kind_counts()
     conf_rows = ", ".join(
         f"('{k}', CAST({n} AS BIGINT), CAST({n} AS BIGINT))"
@@ -178,6 +228,13 @@ part_resolved AS (
         "w3c_conformance": f"""
 SELECT * FROM (VALUES {conf_rows}) t(kind, n_tests, n_passed)
 """,
+        "kg_skewed_sizes": f"""
+SELECT conv_id AS graph_id,
+       CAST(6 * n_turns AS BIGINT) AS n_quads,
+       CAST(n_turns + 1 AS BIGINT) AS n_bnodes,
+       'ok' AS status
+FROM read_parquet('{skew_pq}')
+""",
         "rdfc_hard_graphs": """
 SELECT 'cycle' || CAST(3 + (g % 6) AS VARCHAR) || '-' || CAST(g AS VARCHAR)
          AS graph_id,
@@ -185,6 +242,14 @@ SELECT 'cycle' || CAST(3 + (g % 6) AS VARCHAR) || '-' || CAST(g AS VARCHAR)
        CAST(3 + (g % 6) AS BIGINT) AS n_bnodes,
        'ok' AS status
 FROM generate_series(0, 399) t(g)
+""",
+        "kg_canonical_partitioned_sizes": f"""
+WITH {per_order}
+SELECT 'conv-' || o_orderkey AS graph_id,
+       CAST(14 + 7 * COALESCE(L, 0) + 2 * COALESCE(d, 0) AS BIGINT) AS n_quads,
+       CAST(3 + COALESCE(d, 0) AS BIGINT) AS n_bnodes,
+       'ok' AS status
+FROM orders LEFT JOIN per_order ON o_orderkey = okey
 """,
         "kg_canonical_sizes": f"""
 WITH {per_order}
@@ -216,21 +281,8 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS session_idx
 FROM e
 """,
-        "events_sliding": """
-WITH g AS (
-  SELECT event_type, value,
-         time_bucket(INTERVAL 15 MINUTE, ts) AS grid
-  FROM events
-), rep AS (
-  SELECT event_type, value,
-         grid - (j * INTERVAL 15 MINUTE) AS window_start
-  FROM (SELECT *, UNNEST(generate_series(0, 3)) AS j FROM g)
-)
-SELECT event_type, window_start,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
-FROM rep GROUP BY 1, 2
-""",
+        "events_sliding": _sliding_sql(15, 4),
+        "events_sliding30": _sliding_sql(10, 3),
         "events_price_band": """
 SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_parts
 FROM events e JOIN part p
@@ -393,6 +445,57 @@ FROM img
               ELSE list_distinct(list_transform(
                      generate_series(1, LENGTH(w) - 7), i -> {ngram8}))
          END"""
+    # brute-force char-5-shingle Jaccard — valid as a minhash oracle only
+    # in the recall-1.0 regime (t=0.8, b=32/r=4 LSH + m-band prefilter;
+    # recall proven 1.0 vs brute force in tests/test_operators.py)
+    extra["dedup_minhash_pairs"] = """
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN n < 5 THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, n - 4), i -> substr(text, i, 5)))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (LENGTH(a.sh) + LENGTH(b.sh)
+              - LENGTH(list_intersect(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE ROUND(j, 6) >= 0.8
+"""
+    # connected components over the (oracle-valid) char-5 pair set:
+    # recursive-CTE closure, min-id representative per member node
+    extra["dedup_minhash_groups"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN n < 5 THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, n - 4), i -> substr(text, i, 5)))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (LENGTH(a.sh) + LENGTH(b.sh)
+             - LENGTH(list_intersect(a.sh, b.sh))), 6) >= 0.8
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+"""
     extra["hash_split"] = """
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cd'

@@ -379,23 +379,31 @@ def quality_filtered(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     return scored.map_batches(keep, batch_format="pandas", batch_size=8192)
 
 
-def events_sliding(sf_dir: str) -> rd.Dataset:
-    """Sliding event-time windows (1 h length, 15 min slide): every
-    event lands in the 4 windows covering it, emitted as partial
-    aggregates inside ``map_batches`` (the combiner) before one bucketed
-    grouped merge — the same replicate-then-aggregate shape a streaming
-    engine uses, with window close at read time.
+def events_sliding(
+    sf_dir: str, window_s: int = 3600, slide_s: int = 900
+) -> rd.Dataset:
+    """Sliding event-time windows (default 1 h length, 15 min slide):
+    every event lands in the ``window_s // slide_s`` windows covering
+    it, emitted as partial aggregates inside ``map_batches`` (the
+    combiner) before one bucketed grouped merge — the same
+    replicate-then-aggregate shape a streaming engine uses, with window
+    close at read time.  ``window_s`` must be a multiple of ``slide_s``
+    (the replication factor is derived, not hardcoded).
 
     Output: (event_type, window_start, n_events, sum_value)."""
+    if window_s % slide_s != 0:
+        raise ValueError(
+            f"window_s={window_s} must be a multiple of slide_s={slide_s}"
+        )
+    n_windows = window_s // slide_s
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    slide = np.timedelta64(15 * 60, "s")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         ts = batch["ts"].to_numpy()
-        grid = ts.astype("datetime64[s]").astype(np.int64) // 900 * 900
+        grid = ts.astype("datetime64[s]").astype(np.int64) // slide_s * slide_s
         frames = []
-        for j in range(4):
-            start = (grid - j * 900).astype("datetime64[s]").astype("datetime64[us]")
+        for j in range(n_windows):
+            start = (grid - j * slide_s).astype("datetime64[s]").astype("datetime64[us]")
             frames.append(
                 pd.DataFrame(
                     {

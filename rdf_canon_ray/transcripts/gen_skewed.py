@@ -107,6 +107,50 @@ def skewed_quads(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+def skewed_lengths_parquet(
+    path: str = "/tmp/rcr_cache/skewed_conv_lengths_v1.parquet",
+) -> str:
+    """Persist the generator's ground-truth per-conversation turn counts
+    so the DuckDB oracle can pin the skewed canonicalization output:
+    every quad is per-turn (role/idx/text/mentions = 4) plus structure
+    (session hub 1 + partOf n + next n−1), so n_quads = 6·n_turns and
+    n_bnodes = n_turns + 1 — checked per graph without reimplementing
+    RDFC-1.0 in SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        counts = (
+            build_skewed_transcripts()
+            .groupby("conv_id", sort=True)
+            .size()
+            .rename("n_turns")
+            .reset_index()
+        )
+        counts["n_turns"] = counts["n_turns"].astype("int64")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(counts, preserve_index=False), tmp
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def skewed_canonical_sizes(sf_dir: str = "") -> rd.Dataset:
+    """Oracle-checkable invariant view of the skewed flagship run:
+    (graph_id, n_quads, n_bnodes, status) — see skewed_lengths_parquet
+    for the derivation the SQL side replays."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["graph_id", "n_quads", "n_bnodes", "status"]]
+
+    return skewed_canonical_graphs(sf_dir).map_batches(
+        project, batch_format="pandas", batch_size=8192
+    )
+
+
 def skewed_canonical_graphs(sf_dir: str = "", num_buckets: int = 32) -> rd.Dataset:
     """(sf_dir unused — fully synthetic.) Canonical graphs for the
     skewed corpus through the generic quads shuffle path."""
