@@ -225,6 +225,14 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
+        # machine-checkable artifact next to the BENCH_r{N} records (the
+        # ≥0.8 scaling evidence, not just prose in BASELINE.md)
+        artifact = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+        )
+        with open(artifact, "w") as f:
+            json.dump(result, f, indent=2)
+            f.write("\n")
     else:
         result = run_bench()
         import ray

@@ -72,19 +72,33 @@ def mentions_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> r
 
 def _link_batches(sf_dir: str, transcripts, output: str) -> rd.Dataset:
     """Stateless link stage: broadcast maps deserialized once per
-    worker process via the linker cache, tasks scale instantly."""
+    worker process via the linker cache, tasks scale instantly.
+
+    The pre-shuffle link outputs (triples/mentions/links) use the
+    linker's Arrow twins — extraction emits Arrow, linking stays Arrow
+    (C++ ``index_in`` lookups), and the exchange prepare is zero-copy,
+    so no pandas object boxing touches the hot path.  Only the quads
+    output (consumed post-shuffle by the numpy kernel) stays pandas."""
     from ..stages.canonicalize import _cached_linker
 
     maps_ref = _link_maps_ref(sf_dir)
 
+    if output in ("triples", "mentions", "links"):
+
+        def link_arrow(batch):
+            linker = _cached_linker(maps_ref)
+            if output == "triples":
+                return linker._triples_arrow(batch)
+            if output == "mentions":
+                return linker._mention_rows_arrow(batch)
+            return linker._links_arrow(batch)
+
+        return mentions_dataset(sf_dir, transcripts).map_batches(
+            link_arrow, batch_format="pyarrow", batch_size=8192
+        )
+
     def link(batch):
         linker = _cached_linker(maps_ref)
-        if output == "links":
-            return linker._links(batch)
-        if output == "triples":
-            return linker._triples(batch)
-        if output == "mentions":
-            return linker._mention_rows(batch)
         return linker._quads(batch)
 
     return mentions_dataset(sf_dir, transcripts).map_batches(link, **_EXTRACT_KW)

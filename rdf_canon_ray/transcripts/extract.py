@@ -26,6 +26,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..core.terms import BNODE, IRI, LITERAL
@@ -79,14 +81,27 @@ _ARROW_SPECS = [
 ]
 
 
-def extract_mentions_arrow(batch) -> pd.DataFrame:
+_MENTION_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("turn_label", pa.string()),
+        ("role", pa.string()),
+        ("mtype", pa.string()),
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("c", pa.string()),
+        ("d", pa.string()),
+    ]
+)
+
+
+def extract_mentions_arrow(batch) -> pa.Table:
     """Arrow-native mention extraction: role filter + RE2
     ``pc.extract_regex`` (C++ vectorized, ~3× pandas ``str.extract``);
-    only matched rows cross into pandas for label hashing and output
-    assembly. Used with ``batch_format="pyarrow"``."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    output stays an Arrow table end to end — only the text column
+    crosses into pandas, for the stable label hash. Used with
+    ``batch_format="pyarrow"``."""
     outs = []
     role_arr = batch["role"]
     for role, pattern, mtype, fields, slots in _ARROW_SPECS:
@@ -98,26 +113,31 @@ def extract_mentions_arrow(batch) -> pd.DataFrame:
         if not pc.any(valid).as_py():
             continue
         sub = sub.filter(valid)
-        ext = ext.filter(valid) if isinstance(ext, pa.ChunkedArray) else ext.filter(valid)
-        text = sub["text"].to_pandas()
-        part = pd.DataFrame(
-            {
-                "conv_id": sub["conv_id"].to_pandas(),
-                "turn_idx": sub["turn_idx"].to_pandas(),
-                "turn_label": turn_labels(sub["turn_idx"].to_pandas(), text),
-                "role": role,
-                "mtype": mtype,
-            }
+        ext = ext.filter(valid)
+        n = sub.num_rows
+        labels = turn_labels(
+            sub["turn_idx"].to_pandas(), sub["text"].to_pandas()
         )
+        cols = {
+            "conv_id": pc.cast(sub["conv_id"], pa.string()),
+            "turn_idx": pc.cast(sub["turn_idx"], pa.int32()),
+            "turn_label": pa.array(labels, pa.string()),
+            "role": pa.array([role] * n, pa.string()),
+            "mtype": pa.array([mtype] * n, pa.string()),
+        }
         for field, slot in zip(fields, slots):
-            part[slot] = pc.struct_field(ext, field).to_pandas()
+            cols[slot] = pc.cast(pc.struct_field(ext, field), pa.string())
         for slot in ("a", "b", "c", "d"):
-            if slot not in part.columns:
-                part[slot] = ""
-        outs.append(part)
+            if slot not in cols:
+                cols[slot] = pa.array([""] * n, pa.string())
+        outs.append(
+            pa.table({name: cols[name] for name in MENTION_COLS})
+        )
     if not outs:
-        return pd.DataFrame({c: [] for c in MENTION_COLS})
-    return pd.concat(outs, ignore_index=True)[MENTION_COLS]
+        return _MENTION_SCHEMA.empty_table()
+    return pa.concat_tables(
+        [t.cast(_MENTION_SCHEMA) for t in outs]
+    )
 
 
 def turn_labels(turn_idx: pd.Series, text: pd.Series) -> pd.Series:
@@ -249,8 +269,26 @@ def _empty_quads() -> pd.DataFrame:
     )
 
 
+_TRIPLES_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("subj", pa.string()),
+     ("pred", pa.string()), ("obj", pa.string())]
+)
+_MENTION_IRI_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("entity_iri", pa.string())]
+)
+_LINKS_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("surface", pa.string()),
+     ("entity_iri", pa.string()), ("score", pa.float64())]
+)
+
+
 class EntityLinker:
-    """Mentions → quads (or scored links). Dictionaries broadcast once."""
+    """Mentions → quads (or scored links). Dictionaries broadcast once.
+
+    Pandas emission (``_quads``/``_triples``/…) is used post-shuffle in
+    the flagship bucket kernel; the ``*_arrow`` twins keep the
+    pre-shuffle link stage zero-copy Arrow end to end (C++ ``index_in``
+    dictionary lookups, no Python-object column boxing)."""
 
     def __init__(self, maps_ref, output: str = "quads"):
         maps = ray.get(maps_ref) if not isinstance(maps_ref, dict) else maps_ref
@@ -259,6 +297,19 @@ class EntityLinker:
         self.part_count = maps["part_count"]
         self.supp = maps["supp"]
         self.output = output
+        # Arrow lookup tables (built once per worker with the maps)
+        self._cust_keys = pa.array(list(self.cust.keys()), pa.string())
+        self._cust_vals = pa.array(list(self.cust.values()), pa.int64())
+        part_items = list(self.part.items())
+        self._part_keys = pa.array(
+            [f"{n}|{b}" for (n, b), _ in part_items], pa.string()
+        )
+        self._part_vals = pa.array([v for _, v in part_items], pa.int64())
+        self._part_cnts = pa.array(
+            [float(self.part_count[k]) for k, _ in part_items], pa.float64()
+        )
+        self._supp_keys = pa.array(list(self.supp.keys()), pa.string())
+        self._supp_vals = pa.array(list(self.supp.values()), pa.int64())
 
     # -- helpers ------------------------------------------------------
     @staticmethod
@@ -528,3 +579,191 @@ class EntityLinker:
             rows["score"].extend([1.0] * int(ok.sum()))
 
         return pd.DataFrame(rows)
+
+    # -- Arrow-native emission (pre-shuffle zero-copy path) -----------
+    @staticmethod
+    def _iri(prefix: str, keys: pa.Array) -> pa.Array:
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(keys, pa.string()), ""
+        )
+
+    @staticmethod
+    def _resolve(surface, keys, vals):
+        """surface → (found mask, resolved values) via C++ index_in."""
+        idx = pc.index_in(surface, value_set=keys)
+        found = pc.is_valid(idx)
+        return found, pc.take(vals, pc.filter(idx, found))
+
+    def _order_iris(self, batch: pa.Table):
+        conv = pc.cast(batch["conv_id"], pa.string())
+        okey = pc.replace_substring_regex(
+            conv, pattern="^conv-", replacement=""
+        )
+        return conv, self._iri(ENT + "order:", okey)
+
+    def _triples_arrow(self, batch: pa.Table) -> pa.Table:
+        """Arrow twin of ``_triples``: per-batch-distinct
+        (conv_id, subj, pred, obj) without leaving Arrow."""
+        if batch.num_rows == 0:
+            return _TRIPLES_SCHEMA.empty_table()
+        conv, order_iri = self._order_iris(batch)
+        m = batch["mtype"]
+        pieces = []
+
+        def piece(conv_a, subj_a, pred, obj_a):
+            n = len(obj_a)
+            pieces.append(
+                pa.table(
+                    {
+                        "conv_id": conv_a,
+                        "subj": subj_a,
+                        "pred": pa.array([pred] * n, pa.string()),
+                        "obj": obj_a,
+                    }
+                ).cast(_TRIPLES_SCHEMA)
+            )
+
+        mask = pc.equal(m, "order_open")
+        if pc.any(mask).as_py():
+            cf, of = conv.filter(mask), order_iri.filter(mask)
+            found, ck = self._resolve(
+                batch["a"].filter(mask), self._cust_keys, self._cust_vals
+            )
+            piece(
+                cf.filter(found), of.filter(found),
+                REL + "placedBy", self._iri(ENT + "cust:", ck),
+            )
+
+        mask = pc.equal(m, "order_status")
+        if pc.any(mask).as_py():
+            cf, of = conv.filter(mask), order_iri.filter(mask)
+            piece(cf, of, REL + "status",
+                  pc.cast(batch["b"].filter(mask), pa.string()))
+            piece(cf, of, REL + "priority",
+                  pc.cast(batch["c"].filter(mask), pa.string()))
+
+        mask = pc.equal(m, "item")
+        if pc.any(mask).as_py():
+            cf, of = conv.filter(mask), order_iri.filter(mask)
+            pair = pc.binary_join_element_wise(
+                batch["a"].filter(mask), batch["b"].filter(mask), "|"
+            )
+            found, pk = self._resolve(pair, self._part_keys, self._part_vals)
+            piece(
+                cf.filter(found), of.filter(found),
+                REL + "hasPart", self._iri(ENT + "part:", pk),
+            )
+            found, sk = self._resolve(
+                batch["c"].filter(mask), self._supp_keys, self._supp_vals
+            )
+            piece(
+                cf.filter(found), of.filter(found),
+                REL + "suppliedBy", self._iri(ENT + "supp:", sk),
+            )
+
+        if not pieces:
+            return _TRIPLES_SCHEMA.empty_table()
+        out = pa.concat_tables(pieces)
+        # per-batch DISTINCT (the combiner before the global shuffle)
+        return out.group_by(_TRIPLES_SCHEMA.names).aggregate([])
+
+    def _mention_rows_arrow(self, batch: pa.Table) -> pa.Table:
+        """Arrow twin of ``_mention_rows``: (conv_id, entity_iri) per
+        entity mention — the projection the entity aggregates consume."""
+        if batch.num_rows == 0:
+            return _MENTION_IRI_SCHEMA.empty_table()
+        conv, order_iri = self._order_iris(batch)
+        m = batch["mtype"]
+        pieces = [
+            pa.table({"conv_id": conv, "entity_iri": order_iri}).cast(
+                _MENTION_IRI_SCHEMA
+            )
+        ]
+
+        def piece(conv_a, iri_a):
+            pieces.append(
+                pa.table({"conv_id": conv_a, "entity_iri": iri_a}).cast(
+                    _MENTION_IRI_SCHEMA
+                )
+            )
+
+        mask = pc.equal(m, "order_open")
+        if pc.any(mask).as_py():
+            cf = conv.filter(mask)
+            found, ck = self._resolve(
+                batch["a"].filter(mask), self._cust_keys, self._cust_vals
+            )
+            piece(cf.filter(found), self._iri(ENT + "cust:", ck))
+
+        mask = pc.equal(m, "item")
+        if pc.any(mask).as_py():
+            cf = conv.filter(mask)
+            pair = pc.binary_join_element_wise(
+                batch["a"].filter(mask), batch["b"].filter(mask), "|"
+            )
+            found, pk = self._resolve(pair, self._part_keys, self._part_vals)
+            piece(cf.filter(found), self._iri(ENT + "part:", pk))
+            found, sk = self._resolve(
+                batch["c"].filter(mask), self._supp_keys, self._supp_vals
+            )
+            piece(cf.filter(found), self._iri(ENT + "supp:", sk))
+
+        return pa.concat_tables(pieces)
+
+    def _links_arrow(self, batch: pa.Table) -> pa.Table:
+        """Arrow twin of ``_links``: scored surface→IRI link rows."""
+        if batch.num_rows == 0:
+            return _LINKS_SCHEMA.empty_table()
+        conv = pc.cast(batch["conv_id"], pa.string())
+        m = batch["mtype"]
+        pieces = []
+
+        def piece(conv_a, surf_a, iri_a, score_a):
+            pieces.append(
+                pa.table(
+                    {
+                        "conv_id": conv_a,
+                        "surface": surf_a,
+                        "entity_iri": iri_a,
+                        "score": score_a,
+                    }
+                ).cast(_LINKS_SCHEMA)
+            )
+
+        def ones(n):
+            return pa.array(np.ones(n, np.float64))
+
+        mask = pc.equal(m, "order_open")
+        if pc.any(mask).as_py():
+            cf = conv.filter(mask)
+            surf = pc.cast(batch["a"].filter(mask), pa.string())
+            found, ck = self._resolve(surf, self._cust_keys, self._cust_vals)
+            piece(
+                cf.filter(found), surf.filter(found),
+                self._iri(ENT + "cust:", ck), ones(len(ck)),
+            )
+
+        mask = pc.equal(m, "item")
+        if pc.any(mask).as_py():
+            cf = conv.filter(mask)
+            pair = pc.binary_join_element_wise(
+                batch["a"].filter(mask), batch["b"].filter(mask), "|"
+            )
+            idx = pc.index_in(pair, value_set=self._part_keys)
+            found = pc.is_valid(idx)
+            hit = pc.filter(idx, found)
+            piece(
+                cf.filter(found), pair.filter(found),
+                self._iri(ENT + "part:", pc.take(self._part_vals, hit)),
+                pc.divide(1.0, pc.take(self._part_cnts, hit)),
+            )
+            surf = pc.cast(batch["c"].filter(mask), pa.string())
+            found, sk = self._resolve(surf, self._supp_keys, self._supp_vals)
+            piece(
+                cf.filter(found), surf.filter(found),
+                self._iri(ENT + "supp:", sk), ones(len(sk)),
+            )
+
+        if not pieces:
+            return _LINKS_SCHEMA.empty_table()
+        return pa.concat_tables(pieces)
