@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": corpus.pack_sequences,
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
+        "stratified_sample": corpus.stratified_sample,
         # similarity search family
         "ann_topk": corpus.ann_topk,
         "ann_knn_join": corpus.knn_refset,
@@ -495,6 +496,18 @@ WITH RECURSIVE d AS (
   SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
 )
 SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+"""
+    extra["stratified_sample"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 10
 """
     extra["hash_split"] = """
 SELECT doc_id,

@@ -454,6 +454,64 @@ def pack_sequences(
     )
 
 
+def stratified_sample(sf_dir: str, per_source: int = 10) -> rd.Dataset:
+    """Content-stable stratified downsampling: keep the ``per_source``
+    documents per source whose ``md5(doc_id)`` orders first — the
+    deterministic equivalent of per-stratum random sampling used when
+    balancing a training mix.  Independent of row order, partitioning
+    and cluster size (the property a 100 TB curation pass needs), and
+    reproducible in SQL.
+
+    Shape: hash rank is computed map-side (combiner keeps only the
+    local top ``per_source`` per source), then one bucketed per-source
+    merge selects the global winners — the shuffle moves at most
+    ``per_source × sources × num_blocks`` rows, never the corpus.
+
+    Output: (doc_id, source, sample_rank 1-based)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in batch["doc_id"]
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "source": batch["source"].to_numpy(dtype=object),
+                "h": h,
+            }
+        )
+        return (
+            out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(per_source)
+        )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        b = b.groupby("source", sort=False).head(per_source)
+        b["sample_rank"] = b.groupby("source", sort=False).cumcount() + 1
+        return b[["doc_id", "source", "sample_rank"]].astype(
+            {"sample_rank": "int64"}
+        )
+
+    local = docs.map_batches(
+        local_top, batch_format="pandas", batch_size=32768
+    )
+    return bucketed_map_groups(
+        local, ["source"], merge, num_buckets=8
+    )
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """Intra-document repetition quality signals (Gopher-style)."""
     return _docs(sf_dir).map_batches(

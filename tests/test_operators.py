@@ -620,3 +620,38 @@ def test_dedup_clean_distributed_drop_path(ray_session):
     )
     assert via_broadcast == via_distributed
     assert len(via_broadcast) > 0
+
+
+def test_stratified_sample_stable_and_capped(ray_session):
+    """Per-source hash sampling: ≤N per source, deterministic across
+    runs (the local-top combiner must not change the global winners)."""
+    from rdf_canon_ray.pipelines import corpus
+
+    a = corpus.stratified_sample(SF, per_source=5).to_pandas()
+    assert a.groupby("source")["doc_id"].count().le(5).all()
+    assert (a.groupby("source")["sample_rank"].max()
+            == a.groupby("source")["doc_id"].count()).all()
+    b = corpus.stratified_sample(SF, per_source=5).to_pandas()
+    cols = ["source", "sample_rank"]
+    a2 = a.sort_values(cols).reset_index(drop=True)
+    b2 = b.sort_values(cols).reset_index(drop=True)
+    assert a2.equals(b2)
+
+
+def test_partitioned_anti_join_multi_key(ray_session):
+    """Co-partitioned anti join on a composite key (merge-indicator
+    path) drops exactly the left rows whose full key appears right."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import partitioned_anti_join
+
+    left = pd.DataFrame(
+        {"k1": [1, 1, 2, 2], "k2": ["a", "b", "a", "b"], "v": [10, 11, 12, 13]}
+    )
+    right = pd.DataFrame({"k1": [1, 2], "k2": ["b", "a"]})
+    out = partitioned_anti_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k1", "k2"],
+        num_buckets=4,
+    ).to_pandas()
+    kept = sorted(zip(out["k1"], out["k2"]))
+    assert kept == [(1, "a"), (2, "b")]
