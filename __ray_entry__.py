@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": analytics.top_terms,
         "doc_freq": analytics.doc_freq,
         "events_price_band": analytics.events_price_band,
+        "events_price_floor": analytics.events_price_floor,
         "quality_filtered": analytics.quality_filtered,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
@@ -290,6 +291,16 @@ FROM events e JOIN part p
   ON p.p_retailprice >= 100 * e.value - 5
  AND p.p_retailprice <  100 * e.value + 5
 GROUP BY 1
+""",
+        "events_price_floor": """
+WITH pp AS (
+  SELECT p_retailprice AS price, MAX(p_partkey) AS pk
+  FROM part GROUP BY 1
+)
+SELECT e.event_id,
+       COALESCE(pp.pk, -1) AS floor_partkey,
+       COALESCE(ROUND(pp.price, 4), -1.0) AS floor_price
+FROM events e ASOF LEFT JOIN pp ON pp.price <= 100 * e.value
 """,
         "doc_freq": """
 SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df

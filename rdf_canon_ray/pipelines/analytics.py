@@ -436,6 +436,47 @@ def events_sliding(
     return merged.map_batches(finish, batch_format="pandas", batch_size=32768)
 
 
+def events_price_floor(sf_dir: str) -> rd.Dataset:
+    """Value-axis as-of join: for every event, the greatest part retail
+    price ≤ 100·value and the part carrying it (max p_partkey among
+    price ties, pre-aggregated).  The part price axis is a dimension —
+    broadcast once, sorted, one vectorized ``searchsorted`` per batch
+    (map-only; the keyed big-big as-of shape is ``asof_prev``).
+
+    Output: (event_id, floor_partkey, floor_price) with -1/-1.0 when no
+    price qualifies."""
+    from ..stages.joins import broadcast_asof_floor
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice"],
+    ).to_pandas()
+    # deterministic tie rule the oracle replicates: max partkey per price
+    pp = part.groupby("p_retailprice")["p_partkey"].max().reset_index()
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    joined = broadcast_asof_floor(
+        ev,
+        probe_col="value",
+        axis_vals=pp["p_retailprice"].to_numpy(np.float64),
+        payload=pp["p_partkey"].to_numpy(np.int64),
+        out_key="floor_partkey",
+        out_val="floor_price",
+        scale=100.0,
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "floor_partkey": batch["floor_partkey"].to_numpy(),
+                "floor_price": batch["floor_price"].round(4).to_numpy(),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas", batch_size=32768)
+
+
 def doc_freq(sf_dir: str) -> rd.Dataset:
     """Term document frequency (the IDF denominator for TF-IDF-based
     quality filters): distinct (doc, term) pairs per batch (combiner),

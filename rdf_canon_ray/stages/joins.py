@@ -216,6 +216,53 @@ def partitioned_anti_join(
     return bucketed_map_groups(tagged, on_cols, bucket_fn, num_buckets)
 
 
+def broadcast_asof_floor(
+    ds: rd.Dataset,
+    probe_col: str,
+    axis_vals: np.ndarray,
+    payload: np.ndarray,
+    out_key: str,
+    out_val: str,
+    scale: float = 1.0,
+    missing_key: int = -1,
+    missing_val: float = -1.0,
+) -> rd.Dataset:
+    """As-of (nearest-below) join against a broadcast sorted axis: for
+    every row, the greatest ``axis_vals`` entry ≤ ``scale·probe_col``
+    and its payload. The dimension side ships once via ``ray.put`` as a
+    sorted array; each batch is one vectorized ``searchsorted`` — the
+    map-only shape for dimension-side as-of joins (big-big keyed as-of
+    is ``asof_prev``'s bucket-sort shape).  Ties on the axis must be
+    pre-aggregated by the caller (e.g. max payload per axis value).
+
+    Emits the input columns plus ``out_key`` (payload, ``missing_key``
+    when no axis value qualifies) and ``out_val`` (the matched axis
+    value, ``missing_val`` when none)."""
+    order = np.argsort(axis_vals, kind="stable")
+    ref = ray.put(
+        (
+            np.asarray(axis_vals, np.float64)[order],
+            np.asarray(payload)[order],
+        )
+    )
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        axis, pay = ray.get(ref)
+        probe = batch[probe_col].to_numpy(dtype=np.float64) * scale
+        idx = np.searchsorted(axis, probe, side="right") - 1
+        ok = idx >= 0
+        out = batch.copy()
+        key = np.full(len(batch), missing_key, dtype=pay.dtype)
+        val = np.full(len(batch), missing_val, np.float64)
+        key[ok] = pay[idx[ok]]
+        val[ok] = axis[idx[ok]]
+        out[out_key] = key
+        out[out_val] = val
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=32768)
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

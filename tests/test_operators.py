@@ -655,3 +655,25 @@ def test_partitioned_anti_join_multi_key(ray_session):
     ).to_pandas()
     kept = sorted(zip(out["k1"], out["k2"]))
     assert kept == [(1, "a"), (2, "b")]
+
+
+def test_broadcast_asof_floor_boundaries(ray_session):
+    """Nearest-below semantics: exact hits match inclusively, probes
+    below the axis minimum get the missing sentinels."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import broadcast_asof_floor
+
+    ds = rd.from_pandas(pd.DataFrame({"id": [1, 2, 3, 4], "x": [0.5, 1.0, 2.5, 99.0]}))
+    out = (
+        broadcast_asof_floor(
+            ds, "x",
+            axis_vals=np.array([1.0, 2.0, 3.0]),
+            payload=np.array([10, 20, 30], np.int64),
+            out_key="k", out_val="v",
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["k"].tolist() == [-1, 10, 20, 30]
+    assert out["v"].tolist() == [-1.0, 1.0, 2.0, 3.0]
