@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_price_band": analytics.events_price_band,
         "events_price_floor": analytics.events_price_floor,
         "quality_filtered": analytics.quality_filtered,
+        "length_quantiles": analytics.length_quantiles,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
         "dedup_minhash_pairs": corpus.minhash_pairs,
@@ -809,6 +810,13 @@ GROUP BY user_id, event_type, date_trunc('hour', ts)
 """,
         "docs_by_source": """
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+""",
+        "length_quantiles": """
+SELECT source,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
 FROM documents GROUP BY source
 """,
         "orders_by_nation": """

@@ -436,6 +436,63 @@ def events_sliding(
     return merged.map_batches(finish, batch_format="pandas", batch_size=32768)
 
 
+def length_quantiles(sf_dir: str) -> rd.Dataset:
+    """Distributed EXACT quantiles over a bounded integer domain:
+    per-source p50/p90/p99 of document length via histogram partials —
+    each batch emits (source, n_chars) counts, one bucketed grouped sum
+    merges them, and the quantile reads off the cumulative histogram.
+    No sort, no per-group materialization of raw rows: the shuffle
+    moves at most |domain|×|sources| histogram cells regardless of
+    corpus size — the scale shape for percentile monitoring at 100 TB
+    (for unbounded/float domains, bucket the domain first).
+
+    Quantile convention matches DuckDB ``quantile_disc``:
+    sorted[ceil(q·n) − 1]."""
+    import math
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["source", "n_chars"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    hist = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas", batch_size=32768),
+        ["source", "n_chars"],
+        {"cnt": "sum"},
+        num_buckets=16,
+    )
+
+    QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+    def per_source(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, sub in bucket.groupby("source", sort=False):
+            sub = sub.sort_values("n_chars")
+            vals = sub["n_chars"].to_numpy()
+            cum = sub["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {"source": src}
+            for name, q in QS:
+                target = math.ceil(q * n)
+                row[name] = int(vals[np.searchsorted(cum, target)])
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        for name, _ in QS:
+            out[name] = out[name].astype("int64")
+        return out
+
+    return bucketed_map_groups(hist, ["source"], per_source, num_buckets=8)
+
+
 def events_price_floor(sf_dir: str) -> rd.Dataset:
     """Value-axis as-of join: for every event, the greatest part retail
     price ≤ 100·value and the part carrying it (max p_partkey among

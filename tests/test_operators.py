@@ -677,3 +677,27 @@ def test_broadcast_asof_floor_boundaries(ray_session):
     )
     assert out["k"].tolist() == [-1, 10, 20, 30]
     assert out["v"].tolist() == [-1.0, 1.0, 2.0, 3.0]
+
+
+def test_length_quantiles_histogram_exact(ray_session):
+    """Histogram-based distributed quantiles equal the exact
+    sorted-index quantile (quantile_disc convention) per source."""
+    import math
+
+    import pyarrow.parquet as pq_mod
+
+    from rdf_canon_ray.pipelines import analytics
+
+    out = (
+        analytics.length_quantiles(SF)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = pq_mod.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    for src, sub in docs.groupby("source"):
+        vals = np.sort(sub["n_chars"].to_numpy())
+        for name, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            assert out.loc[src, name] == vals[math.ceil(q * len(vals)) - 1]
