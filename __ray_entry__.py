@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         "stratified_sample": corpus.stratified_sample,
+        "top_quality_docs": corpus.top_quality_docs,
         # similarity search family
         "ann_topk": corpus.ann_topk,
         "ann_knn_join": corpus.knn_refset,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resized": corpus.media_resized,
         "media_resized_sums": corpus.media_resized_sums,
         "media_frames": corpus.media_frames,
+        "media_audio_resampled": corpus.media_audio_resampled,
         "media_stats": corpus.media_stats,
     }
 
@@ -427,6 +429,20 @@ SELECT media_id,
                         AS INT)))
             AS BIGINT) AS frame_sum
 FROM f
+""",
+        "media_audio_resampled": f"""
+WITH a AS (
+  SELECT media_id, hex(payload) AS hx,
+         OCTET_LENGTH(payload) - 44 AS nd
+  FROM read_parquet('{media_pq}')
+  WHERE kind = 'audio'
+)
+SELECT media_id,
+       CAST((nd + 3) // 4 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(generate_series(0, (nd + 3) // 4 - 1),
+              i -> CAST(('0x' || substr(hx, 2 * (44 + i * 4) + 1, 2)) AS INT)))
+            AS BIGINT) AS sample_sum
+FROM a
 """,
         "media_resized_sums": f"""
 WITH img AS (
@@ -700,6 +716,14 @@ SELECT DISTINCT conv_id, surface, entity_iri, score FROM t
         "SELECT doc_id, quality FROM ("
         + extra["quality_scores"]
         + ") t WHERE quality >= 0.5"
+    )
+    extra["top_quality_docs"] = (
+        'SELECT source, doc_id, quality, CAST("rank" AS BIGINT) AS "rank" '
+        "FROM (SELECT d.source, q.doc_id, q.quality, ROW_NUMBER() OVER ("
+        "PARTITION BY d.source ORDER BY q.quality DESC, q.doc_id"
+        ') AS "rank" FROM ('
+        + extra["quality_scores"]
+        + ') q JOIN documents d USING (doc_id)) WHERE "rank" <= 5'
     )
     base = {
         "kg_triples": f"""

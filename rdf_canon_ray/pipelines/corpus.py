@@ -195,6 +195,33 @@ def media_resized_sums(sf_dir: str, out_w: int = 6, out_h: int = 4) -> rd.Datase
     return resized.map_batches(project, batch_format="pyarrow", batch_size=64)
 
 
+def media_audio_resampled(sf_dir: str, factor: int = 4) -> rd.Dataset:
+    """Oracle-checkable view of the audio decimation stage: per audio
+    row, the kept-sample count and byte sum of the RESAMPLED payload —
+    DuckDB recomputes the decimation (every ``factor``-th sample after
+    the 44-byte header) from the original payload bytes."""
+    import pyarrow as pa
+
+    resampled = multimodal.resample_audio(_media_ds(), factor=factor)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = [i for i, ok in enumerate(batch["resampled"].to_pylist()) if ok]
+        sub = batch.take(keep)
+        sums = []
+        for payload in sub["payload"].to_pylist():
+            samples = multimodal.decode_wav(payload)
+            sums.append(int(samples.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "n_samples": sub["n_samples"],
+                "sample_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return resampled.map_batches(project, batch_format="pyarrow", batch_size=64)
+
+
 def media_frames(sf_dir: str) -> rd.Dataset:
     """Video frame sampling projected to its oracle-checkable view: one
     row per sampled frame with the decoded frame's length AND byte sum
@@ -452,6 +479,54 @@ def pack_sequences(
         num_buckets=default_buckets(),
         batch_size=8192,
     )
+
+
+def top_quality_docs(sf_dir: str, per_source: int = 5) -> rd.Dataset:
+    """Per-stratum curation selection: the ``per_source`` HIGHEST
+    quality-scored documents per source (ties by ascending doc_id) —
+    the grouped top-k every mixture-balancing pass needs.  Same
+    shuffle-light shape as ``stratified_sample``: scores are computed
+    map-side, the combiner keeps only each block's local top-k per
+    source, and one bucketed per-source merge picks the global winners.
+
+    Output: (source, doc_id, quality, rank 1-based)."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        scored = text.QualityScore()(batch)[["doc_id", "quality"]]
+        scored["source"] = batch["source"].to_numpy(dtype=object)
+        return (
+            scored.sort_values(
+                ["source", "quality", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("source", sort=False)
+            .head(per_source)
+        )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["source", "quality", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("source", sort=False).head(per_source)
+        b["rank"] = b.groupby("source", sort=False).cumcount() + 1
+        return b[["source", "doc_id", "quality", "rank"]].astype(
+            {"rank": "int64"}
+        )
+
+    local = docs.map_batches(
+        local_top, batch_format="pandas", batch_size=8192
+    )
+    return bucketed_map_groups(local, ["source"], merge, num_buckets=8)
 
 
 def stratified_sample(sf_dir: str, per_source: int = 10) -> rd.Dataset:

@@ -364,6 +364,57 @@ def resize_images(
     )
 
 
+# --------------------------------------------------------------- audio
+class AudioResampler:
+    """Actor-pool audio stage: decode WAV (8-bit PCM mono) → integer
+    decimation by ``factor`` (keep every factor-th sample — the exact,
+    oracle-checkable resample; production swaps in a polyphase filter)
+    → re-encode WAV at ``rate // factor``.  Non-audio rows pass through
+    untouched with ``resampled=False``; undecodable audio keeps its
+    payload with ``resampled=False``."""
+
+    def __init__(self, factor: int = 4, rate_in: int = 8000):
+        if factor < 1:
+            raise ValueError(f"factor must be >= 1, got {factor}")
+        self.factor = factor
+        self.rate_out = rate_in // factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_payloads, ok, n_samples = [], [], []
+        for kind, payload in zip(kinds, payloads):
+            samples = decode_wav(payload) if kind == "audio" else None
+            if samples is None:
+                out_payloads.append(payload)
+                ok.append(False)
+                n_samples.append(0)
+            else:
+                kept = samples[:: self.factor]
+                out_payloads.append(encode_wav(kept, rate=self.rate_out))
+                ok.append(True)
+                n_samples.append(len(kept))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out_payloads, pa.binary()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "resampled": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def resample_audio(ds: rd.Dataset, factor: int = 4) -> rd.Dataset:
+    return ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=default_pool(cap=8),
+    )
+
+
 # -------------------------------------------------------------- frames
 def sample_frames(
     ds: rd.Dataset, fps_target: float = 1.0, max_frames: int = 8

@@ -701,3 +701,55 @@ def test_length_quantiles_histogram_exact(ray_session):
         vals = np.sort(sub["n_chars"].to_numpy())
         for name, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
             assert out.loc[src, name] == vals[math.ceil(q * len(vals)) - 1]
+
+
+def test_audio_resample_decimation(ray_session):
+    """WAV decimation keeps every factor-th sample exactly; non-audio
+    rows pass through with resampled=False."""
+    import pyarrow.parquet as pq_mod
+
+    from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages import multimodal
+
+    raw = pq_mod.read_table(corpus.media_corpus_parquet()).to_pandas()
+    out = (
+        multimodal.resample_audio(
+            __import__("ray").data.from_arrow(
+                pq_mod.read_table(corpus.media_corpus_parquet())
+            ),
+            factor=4,
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    audio = raw[raw["kind"] == "audio"]
+    row = audio.iloc[0]
+    orig = multimodal.decode_wav(row["payload"])
+    res = multimodal.decode_wav(out.loc[row["media_id"], "payload"])
+    assert np.array_equal(res, orig[::4])
+    assert out.loc[row["media_id"], "resampled"]
+    non_audio = raw[raw["kind"] != "audio"].iloc[0]
+    assert not out.loc[non_audio["media_id"], "resampled"]
+    assert out.loc[non_audio["media_id"], "payload"] == non_audio["payload"]
+
+
+def test_top_quality_docs_matches_full_sort(ray_session):
+    """Grouped top-k with local-top combiner equals the global
+    (quality desc, doc_id asc) per-source selection."""
+    from rdf_canon_ray.pipelines import corpus
+
+    got = corpus.top_quality_docs(SF, per_source=3).to_pandas()
+    scores = corpus.quality_scores(SF).to_pandas()[["doc_id", "quality"]]
+    import pyarrow.parquet as pq_mod
+
+    src = pq_mod.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    full = scores.merge(src, on="doc_id").sort_values(
+        ["source", "quality", "doc_id"], ascending=[True, False, True]
+    )
+    exp = full.groupby("source").head(3)
+    got_k = sorted(zip(got["source"], got["doc_id"]))
+    exp_k = sorted(zip(exp["source"], exp["doc_id"]))
+    assert got_k == exp_k
+    assert got.groupby("source")["rank"].max().le(3).all()
