@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": corpus.decontaminate,
         "stratified_sample": corpus.stratified_sample,
         "top_quality_docs": corpus.top_quality_docs,
+        "shuffle_order": corpus.shuffle_order,
         # similarity search family
         "ann_topk": corpus.ann_topk,
         "ann_knn_join": corpus.knn_refset,
@@ -524,6 +525,13 @@ WITH RECURSIVE d AS (
   SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
 )
 SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+"""
+    extra["shuffle_order"] = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS shuffle_rank
+FROM documents
 """
     extra["stratified_sample"] = """
 WITH ranked AS (

@@ -587,6 +587,79 @@ def stratified_sample(sf_dir: str, per_source: int = 10) -> rd.Dataset:
     )
 
 
+def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
+    """Deterministic global training order: every document gets the
+    0-based rank of its ``md5(doc_id)`` in the corpus-wide hash order
+    (ties by doc_id) — a reproducible pseudo-random permutation that is
+    independent of partitioning and cluster size.
+
+    Global rank WITHOUT a global sort: ranks are assigned two-level,
+    like ``pack_sequences`` offsets — per-batch counts per hash-prefix
+    bucket (the first two hex chars give 256 ordered buckets) are
+    aggregated distributedly, the tiny 256-row count table prefix-sums
+    on the driver and broadcasts, and one bucketed exchange sorts each
+    bucket locally and adds its base offset.  Each task sorts
+    corpus/256 rows; scale the prefix width with the corpus.
+
+    Output: (doc_id, shuffle_rank)."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+
+    ids = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "h": h,
+                "pb": [int(x[:2], 16) for x in h],
+            }
+        )
+
+    keyed = ids.map_batches(key, batch_format="pandas", batch_size=32768)
+    keyed = keyed.materialize()  # hash once; the keyed table is 3 slim cols
+
+    counts = grouped_agg(
+        keyed.map_batches(
+            lambda b: pd.DataFrame(
+                {"pb": b["pb"].to_numpy(), "n": np.ones(len(b), np.int64)}
+            ),
+            batch_format="pandas",
+            batch_size=32768,
+        ),
+        ["pb"],
+        {"n": "sum"},
+        num_buckets=8,
+    ).to_pandas().sort_values("pb")
+    base = (counts["n"].cumsum() - counts["n"]).to_numpy()
+    base_ref = ray.put(dict(zip(counts["pb"].astype(int), base.astype(int))))
+
+    def rank_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        outs = []
+        for pb, sub in bucket.groupby("pb", sort=False):
+            b = sub.sort_values(["h", "doc_id"], kind="mergesort")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": b["doc_id"].to_numpy(),
+                        "shuffle_rank": bases[int(pb)]
+                        + np.arange(len(b), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(keyed, ["pb"], rank_bucket, num_buckets=32)
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """Intra-document repetition quality signals (Gopher-style)."""
     return _docs(sf_dir).map_batches(

@@ -753,3 +753,17 @@ def test_top_quality_docs_matches_full_sort(ray_session):
     exp_k = sorted(zip(exp["source"], exp["doc_id"]))
     assert got_k == exp_k
     assert got.groupby("source")["rank"].max().le(3).all()
+
+
+def test_shuffle_order_is_complete_permutation(ray_session):
+    """Global hash ranks form exactly 0..n-1, independent of input
+    partitioning."""
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.shuffle_order(SF).to_pandas()
+    n = len(out)
+    assert sorted(out["shuffle_rank"]) == list(range(n))
+    out2 = corpus.shuffle_order(SF).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
