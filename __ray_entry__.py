@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_price_floor": analytics.events_price_floor,
         "quality_filtered": analytics.quality_filtered,
         "length_quantiles": analytics.length_quantiles,
+        "tfidf_top_terms": analytics.tfidf_top_terms,
         # dedup family
         "dedup_exact": corpus.dedup_exact,
         "dedup_minhash_pairs": corpus.minhash_pairs,
@@ -313,6 +314,28 @@ FROM (
   FROM documents
 )
 GROUP BY term
+""",
+        "tfidf_top_terms": """
+WITH terms AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, s,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY s DESC, term
+         ) AS "rank"
+  FROM scored
+)
+SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", term, ROUND(s, 6) AS score
+FROM ranked WHERE "rank" <= 3
 """,
         "top_terms": """
 SELECT term, CAST(COUNT(*) AS BIGINT) AS n

@@ -436,6 +436,64 @@ def events_sliding(
     return merged.map_batches(finish, batch_format="pandas", batch_size=32768)
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms: the document-frequency table is
+    computed distributedly (``doc_freq``), collected (vocabulary-scale,
+    the standard broadcast side — like a tokenizer vocab), shipped once
+    via ``ray.put``, and each batch scores its own documents map-only:
+    term counts → tf·ln(N/df) → top-k per doc (score desc, term asc).
+
+    Output: (doc_id, rank 1-based, term, score[6dp])."""
+    import ray
+
+    from .corpus import _docs
+
+    df_tbl = doc_freq(sf_dir).to_pandas()
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(int))))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dfs = ray.get(df_ref)
+        exploded = (
+            batch.set_index("doc_id")["text"].str.findall(r"\S+").explode()
+        )
+        tf = (
+            exploded.reset_index()
+            .groupby(["doc_id", "text"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+            .rename(columns={"text": "term"})
+        )
+        tf = tf[tf["term"].notna()]
+        df_vals = tf["term"].map(dfs).to_numpy(dtype=np.float64)
+        tf["score"] = tf["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / df_vals
+        )
+        top = (
+            tf.sort_values(
+                ["doc_id", "score", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].to_numpy(),
+                "rank": top["rank"].to_numpy(np.int64),
+                "term": top["term"].to_numpy(dtype=object),
+                "score": top["score"].round(6).to_numpy(),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        score, batch_format="pandas", batch_size=8192
+    )
+
+
 def length_quantiles(sf_dir: str) -> rd.Dataset:
     """Distributed EXACT quantiles over a bounded integer domain:
     per-source p50/p90/p99 of document length via histogram partials —
