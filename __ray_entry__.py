@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
         "docs_by_source": analytics.docs_by_source,
+        "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "orders_by_nation": analytics.orders_by_nation,
         "events_prev": analytics.events_prev,
         "orders_automobile": analytics.orders_automobile,
@@ -864,6 +865,10 @@ FROM events
 GROUP BY user_id, event_type, date_trunc('hour', ts)
 """,
         "docs_by_source": """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+""",
+        "docs_by_source_jsonl": """
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,

@@ -251,8 +251,32 @@ def orders_automobile(sf_dir: str) -> rd.Dataset:
 
 def docs_by_source(sf_dir: str) -> rd.Dataset:
     """documents grouped by source: count + char sum (exact ints)."""
-    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return _docs_by_source_ds(
+        _read(sf_dir, "documents", columns=["source", "n_chars"])
+    )
 
+
+def docs_by_source_jsonl(sf_dir: str) -> rd.Dataset:
+    """Same aggregation through a FULL JSONL round trip: the documents
+    table is written once to hash-partitioned JSONL (interchange-format
+    sink) and read back with the streaming JSONL source — sharing
+    ``docs_by_source``'s oracle, so the sink+source pair is value-hash
+    checked end to end."""
+    from ..sources.jsonl import read_jsonl, write_jsonl_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/rcr_cache/{tag}/docs_jsonl_16"
+    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+        write_jsonl_partitioned(
+            _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+            out_dir,
+            key_cols=["doc_id"],
+            num_buckets=16,
+        )
+    return _docs_by_source_ds(read_jsonl(out_dir))
+
+
+def _docs_by_source_ds(docs: rd.Dataset) -> rd.Dataset:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch.assign(n_docs=np.ones(len(batch), np.int64))
         return (

@@ -89,3 +89,37 @@ def test_sink_names_collision_free(ray_session, tmp_path):
     assert whole == "doc-space\ndoc-underscore\n"  # '<urn:a b>' < '<urn:a_b>'
     idx = json.load(open(f"{out_dir}/_index.json"))
     assert idx["parts"] == [os.path.basename(p) for p in paths]
+
+
+def test_jsonl_roundtrip_preserves_rows(ray_session, tmp_path):
+    """JSONL sink + source round trip: identical rows, deterministic
+    partition contents regardless of input block order."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_canon_ray.sources.jsonl import read_jsonl, write_jsonl_partitioned
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "source": [f"s{i % 3}" for i in range(100)],
+            "text": [f"doc {i} with unicode é🚀" for i in range(100)],
+        }
+    )
+    out1 = str(tmp_path / "a")
+    out2 = str(tmp_path / "b")
+    write_jsonl_partitioned(rd.from_pandas(df), out1, ["doc_id"], num_buckets=4)
+    # different block structure, same rows
+    write_jsonl_partitioned(
+        rd.from_pandas(df).repartition(7), out2, ["doc_id"], num_buckets=4
+    )
+    a = read_jsonl(out1).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = read_jsonl(out2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "source", "text"]].equals(df)
+    assert a.equals(b)
+    import os
+
+    for part in sorted(os.listdir(out1)):
+        assert open(f"{out1}/{part}/data.jsonl", "rb").read() == open(
+            f"{out2}/{part}/data.jsonl", "rb"
+        ).read()
