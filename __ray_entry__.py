@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
         "dedup_embedding_pairs": corpus.embedding_near_dups,
         "dedup_clean": corpus.dedup_clean,
+        "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
         "quality_scores": corpus.quality_scores,
@@ -518,6 +519,28 @@ WITH d AS (
            / (LENGTH(a.sh) + LENGTH(b.sh)
               - LENGTH(list_intersect(a.sh, b.sh))) AS j
   FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE ROUND(j, 6) >= 0.8
+"""
+    # incremental pass = full brute force restricted to pairs touching
+    # the new shard (id_b >= split; id_a < id_b so id_b is the new side)
+    extra["dedup_incremental"] = """
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN n < 5 THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, n - 4), i -> substr(text, i, 5)))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (LENGTH(a.sh) + LENGTH(b.sh)
+              - LENGTH(list_intersect(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE b.doc_id >= 400
 )
 SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE ROUND(j, 6) >= 0.8
 """

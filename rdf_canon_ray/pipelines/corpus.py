@@ -64,6 +64,98 @@ def minhash_groups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return dedup.dup_groups_from_pairs(minhash_pairs(sf_dir, threshold))
 
 
+def _minhash_sig_cache(
+    sf_dir: str, split_id: int, shingle_k: int = 5, n_perm: int = 128
+) -> str:
+    """Persist the already-deduped corpus's minhash signatures (doc_id <
+    split_id) — the INDEX an incremental dedup pass reads instead of
+    re-hashing the whole corpus when a new shard arrives."""
+    import functools
+
+    from ..stages.dedup import _minhash_batch
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/rcr_cache/{tag}/minhash_sigs_lt{split_id}_k{shingle_k}"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    tmp = path + ".tmp"
+    import shutil
+
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pandas as pd
+
+    old = _docs(sf_dir).map_batches(
+        lambda b: b[b["doc_id"] < split_id],
+        batch_format="pandas",
+        batch_size=32768,
+    )
+    old.map_batches(
+        functools.partial(
+            _minhash_batch, id_col="doc_id", text_col="text",
+            n_perm=n_perm, shingle_k=shingle_k, shingle_mode="char",
+        ),
+        batch_format="pandas",
+        batch_size=256,
+    ).write_parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        pass
+    return path
+
+
+def dedup_incremental(
+    sf_dir: str, split_id: int = 400, threshold: float = 0.8
+) -> rd.Dataset:
+    """Incremental near-dup detection: a NEW shard (doc_id ≥ split_id)
+    arrives against an already-deduped corpus.  The corpus side reads
+    its PERSISTED signature index (built once — no re-hashing of old
+    text), only the shard's signatures are computed fresh, and old×old
+    candidate pairs are pruned at emission (``min_new_id``), so the
+    match-sum/attach/verify exchanges carry only pairs touching the
+    shard.  Cost scales with the shard and its collision set, not the
+    corpus — the property that makes continuous ingest dedup viable at
+    100 TB.
+
+    Output: (id_a, id_b, jaccard) for pairs with at least one new doc."""
+    import functools
+
+    from ..stages.dedup import _minhash_batch, minhash_lsh_pairs
+    from ..util import default_buckets
+
+    sig_path = _minhash_sig_cache(sf_dir, split_id)
+    # normalize to pandas blocks: the union peer (fresh shard sigs) is
+    # pandas, and Ray's fused exchange prepare asserts one block type
+    old_sigs = rd.read_parquet(sig_path).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=4096
+    )
+    new_sigs = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda b: b[b["doc_id"] >= split_id],
+            batch_format="pandas",
+            batch_size=32768,
+        )
+        .map_batches(
+            functools.partial(
+                _minhash_batch, id_col="doc_id", text_col="text",
+                n_perm=128, shingle_k=5, shingle_mode="char",
+            ),
+            batch_format="pandas",
+            batch_size=256,
+        )
+    )
+    return minhash_lsh_pairs(
+        _docs(sf_dir),  # text side (exact verification reads both sides)
+        threshold=threshold,
+        num_buckets=default_buckets(),
+        sigs=old_sigs.union(new_sigs),
+        min_new_id=split_id,
+    )
+
+
 def simhash_pairs(sf_dir: str) -> rd.Dataset:
     from ..util import default_buckets
 

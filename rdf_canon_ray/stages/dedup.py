@@ -275,12 +275,20 @@ class BandEmitter:
 
 
 def _pairs_from_buckets(
-    bucket: pd.DataFrame, id_col: str, bucket_cap: int = 200
+    bucket: pd.DataFrame,
+    id_col: str,
+    bucket_cap: int = 200,
+    min_new_id: int | None = None,
 ) -> pd.DataFrame:
     """Within each (band_id, band_hash) group emit candidate id pairs
     with per-group multiplicity 1 (summed downstream into the band-match
     count).  Groups larger than ``bucket_cap`` are truncated — the
-    dropped candidate count is reported via metrics, never silent."""
+    dropped candidate count is reported via metrics, never silent.
+
+    ``min_new_id`` is the incremental-dedup pruning hook: pairs whose
+    larger id is below it (old×old — both docs already deduped) are
+    dropped HERE, before the match-sum/attach/verify exchanges, so an
+    incremental pass pays only for pairs touching the new shard."""
     outs_a, outs_b = [], []
     dropped = 0
     for _, sub in bucket.groupby(["band_id", "band_hash"], sort=False):
@@ -291,6 +299,8 @@ def _pairs_from_buckets(
             n = len(ids)
             dropped += n * (n - 1) // 2 - bucket_cap * (bucket_cap - 1) // 2
             ids = ids[:bucket_cap]
+        if min_new_id is not None and (len(ids) == 0 or ids[-1] < min_new_id):
+            continue  # ids sorted: whole group is old×old
         ia, ib = np.triu_indices(len(ids), k=1)
         outs_a.append(ids[ia])
         outs_b.append(ids[ib])
@@ -306,6 +316,9 @@ def _pairs_from_buckets(
     out = pd.DataFrame(
         {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
     )
+    if min_new_id is not None:
+        # id_a < id_b, so a pair touches the new shard iff id_b is new
+        out = out[out["id_b"].to_numpy() >= min_new_id]
     # partial band-match count within this shuffle bucket
     return (
         out.groupby(["id_a", "id_b"], sort=False)
@@ -415,6 +428,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_buckets: int = 64,
     texts: rd.Dataset | None = None,
+    sigs: rd.Dataset | None = None,
+    min_new_id: int | None = None,
 ) -> rd.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -430,24 +445,32 @@ def minhash_lsh_pairs(
     ``texts`` defaults to ``ds`` itself (must expose id_col/text_col).
     Assumes non-negative integer doc ids (negative values are reserved
     as side markers inside the fused exchanges).
+
+    Incremental mode: pass ``sigs`` (a precomputed/persisted signature
+    table — id_col + ``sig`` list column — e.g. the already-deduped
+    corpus's cached signatures unioned with the new shard's fresh ones)
+    to skip signature computation, and ``min_new_id`` to prune old×old
+    candidate pairs at emission so only pairs touching the new shard
+    flow through the match-sum/attach/verify exchanges.
     """
     metrics.ensure()  # driver-owned counter actor for drop reporting
     if texts is None:
         texts = ds
     import functools
 
-    sigs = ds.map_batches(
-        functools.partial(
-            _minhash_batch,
-            id_col=id_col,
-            text_col=text_col,
-            n_perm=n_perm,
-            shingle_k=shingle_k,
-            shingle_mode=shingle_mode,
-        ),
-        batch_format="pandas",
-        batch_size=256,  # signature compute dominates: many small tasks
-    )
+    if sigs is None:
+        sigs = ds.map_batches(
+            functools.partial(
+                _minhash_batch,
+                id_col=id_col,
+                text_col=text_col,
+                n_perm=n_perm,
+                shingle_k=shingle_k,
+                shingle_mode=shingle_mode,
+            ),
+            batch_format="pandas",
+            batch_size=256,  # signature compute dominates: many small tasks
+        )
     bands = sigs.map_batches(
         functools.partial(
             _bands_batch, id_col=id_col, n_bands=n_bands, n_perm=n_perm
@@ -463,7 +486,9 @@ def minhash_lsh_pairs(
     partial = bucketed_map_groups(
         bands,
         ["band_id", "band_hash"],
-        lambda bucket: _pairs_from_buckets(bucket, id_col),
+        lambda bucket: _pairs_from_buckets(
+            bucket, id_col, min_new_id=min_new_id
+        ),
         num_buckets=num_buckets,
         batch_size=256,
     )

@@ -767,3 +767,29 @@ def test_shuffle_order_is_complete_permutation(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dedup_incremental_matches_filtered_full(ray_session):
+    """Incremental dedup (persisted old-corpus signature index + old-x-old
+    candidate pruning) finds exactly the full run's pairs that touch the
+    new shard."""
+    from rdf_canon_ray.pipelines import corpus
+
+    split = 400
+    full = corpus.minhash_pairs(SF).to_pandas()
+    expected = full[full["id_b"] >= split].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+    inc = (
+        corpus.dedup_incremental(SF, split_id=split)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert inc.equals(expected)
+    assert (inc["id_b"] >= split).all()
+    import os
+
+    # the old-corpus signature index persisted (reused on the next shard)
+    tag = "sf0.001"
+    assert os.path.isdir(f"/tmp/rcr_cache/{tag}/minhash_sigs_lt{split}_k5")
