@@ -793,3 +793,33 @@ def test_dedup_incremental_matches_filtered_full(ray_session):
     # the old-corpus signature index persisted (reused on the next shard)
     tag = "sf0.001"
     assert os.path.isdir(f"/tmp/rcr_cache/{tag}/minhash_sigs_lt{split}_k5")
+
+
+def test_audio_resample_identity_factor(ray_session):
+    """factor=1 decimation is the identity on samples (round-trip via
+    re-encode)."""
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages import multimodal
+
+    t = pq_mod.read_table(corpus.media_corpus_parquet())
+    out = multimodal.resample_audio(rd.from_arrow(t), factor=1).to_pandas()
+    raw = t.to_pandas()
+    audio = raw[raw["kind"] == "audio"].iloc[0]
+    got = out.set_index("media_id").loc[audio["media_id"], "payload"]
+    assert np.array_equal(
+        multimodal.decode_wav(got), multimodal.decode_wav(audio["payload"])
+    )
+
+
+def test_top_quality_docs_cap_above_group_size(ray_session):
+    """per_source larger than any stratum returns every doc ranked."""
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.top_quality_docs(SF, per_source=10**6).to_pandas()
+    n_docs = corpus.quality_scores(SF).count()
+    assert len(out) == n_docs
+    assert (out.groupby("source")["rank"].max()
+            == out.groupby("source")["doc_id"].count()).all()
