@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_knn_join": corpus.knn_refset,
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
+        "ann_ivf_persisted": corpus.ann_ivf_persisted,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
         "media_feature_sums": corpus.media_feature_sums,

@@ -209,6 +209,18 @@ def ann_ivf_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
     )
 
 
+def ann_ivf_persisted(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """IVF top-k against the persisted on-disk index (built once per
+    sf_dir, partition-pruned reads at query time) — byte-identical to
+    ``ann_ivf_topk`` over the same data."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/rcr_cache/{tag}/ivf_index_16"
+    similarity.ivf_index_build(_embeddings(sf_dir), index_dir, n_lists=16)
+    return similarity.ivf_cosine_topk_persisted(
+        index_dir, _query_vectors(sf_dir), k=k
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     """Embedding-cosine near-dup pairs. The synthetic embeddings have no
     true near-dups (max pairwise cosine ≈ 0.48); 0.35 exercises the

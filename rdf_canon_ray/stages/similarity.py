@@ -266,34 +266,54 @@ def ivf_cosine_topk(
     ).astype(np.float64)
     centroids = train_ivf_centroids(sample, n_lists)
     cref = ray.put(centroids)
-    qn = _normalize(queries)
-    # query → probe lists
-    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probes]
-    qref = ray.put(qn)
-    probes_ref = ray.put(probes)
-
-    class AssignList:
-        def __init__(self, cref, id_col, vec_col):
-            self.c = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
-            self.id_col = id_col
-            self.vec_col = vec_col
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
-            lists = (_normalize(vecs) @ self.c.T).argmax(axis=1)
-            out = pd.DataFrame(
-                {self.id_col: batch[self.id_col].to_numpy(), "ivf_list": lists}
-            )
-            out[self.vec_col] = list(vecs)
-            return out
 
     assigned = ds.map_batches(
-        AssignList,
+        _AssignList,
         fn_constructor_kwargs={"cref": cref, "id_col": id_col, "vec_col": vec_col},
         batch_format="pandas",
         batch_size=4096,
         concurrency=default_pool(),
     )
+    return _ivf_probe_and_scan(
+        assigned, centroids, queries, k, n_probes, id_col, vec_col
+    )
+
+
+class _AssignList:
+    """Vector → nearest-centroid inverted-list assignment (centroids
+    broadcast once per actor)."""
+
+    def __init__(self, cref, id_col, vec_col):
+        self.c = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        lists = (_normalize(vecs) @ self.c.T).argmax(axis=1)
+        out = pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy(), "ivf_list": lists}
+        )
+        out[self.vec_col] = list(vecs)
+        return out
+
+
+def _ivf_probe_and_scan(
+    assigned: rd.Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    n_probes: int,
+    id_col: str,
+    vec_col: str,
+) -> rd.Dataset:
+    """Shared IVF query phase: probe selection → per-list scan →
+    per-query global merge (shape shared by the in-memory and the
+    persisted-index paths)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probes]
+    qref = ray.put(qn)
+    probes_ref = ray.put(probes)
 
     def scan(bucket: pd.DataFrame) -> pd.DataFrame:
         qn_l = ray.get(qref)
@@ -309,9 +329,8 @@ def ivf_cosine_topk(
             kk = min(k, len(ids))
             for j, qi in enumerate(q_idx):
                 col = sims[:, j]
-                idx = np.argpartition(-col, kk - 1)[:kk]
-                order = np.lexsort((ids[idx], -col[idx]))
-                idx = idx[order]
+                # full lexsort: boundary score ties resolve by asc id
+                idx = np.lexsort((ids, -col))[:kk]
                 outs.append(
                     pd.DataFrame(
                         {
@@ -346,6 +365,114 @@ def ivf_cosine_topk(
         return out[["query_id", "rank", "vec_id", "score"]]
 
     return bucketed_map_groups(partial, ["query_id"], merge, num_buckets=4)
+
+
+def ivf_index_build(
+    ds: rd.Dataset,
+    out_dir: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 1024,
+) -> str:
+    """Persist an IVF index: ``centroids.parquet`` + one
+    ``list=N/data.parquet`` partition per inverted list (atomic tmp-dir
+    rename; idempotent).  Build once, query many — the query side reads
+    ONLY its probed lists' partitions (see ``ivf_cosine_topk_persisted``),
+    so query I/O scales with n_probes/n_lists of the corpus, not the
+    corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        return out_dir
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+
+    sample = np.stack(
+        [r[vec_col] for r in ds.limit(train_sample).take(train_sample)]
+    ).astype(np.float64)
+    centroids = train_ivf_centroids(sample, n_lists)
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(n_lists), pa.int64()),
+                "centroid": pa.array(
+                    [c.tolist() for c in centroids], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(tmp, "centroids.parquet"),
+    )
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(
+        _AssignList,
+        fn_constructor_kwargs={"cref": cref, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=default_pool(),
+    )
+
+    def write_list(group: pd.DataFrame) -> pd.DataFrame:
+        lst = int(group["ivf_list"].iloc[0])
+        pdir = os.path.join(tmp, f"list={lst}")
+        os.makedirs(pdir, exist_ok=True)
+        group.sort_values(id_col, kind="mergesort").to_parquet(
+            os.path.join(pdir, "data.parquet"), index=False
+        )
+        return pd.DataFrame({"list_id": [lst], "rows": [len(group)]})
+
+    assigned.groupby("ivf_list").map_groups(
+        write_list, batch_format="pandas"
+    ).count()
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        pass
+    return out_dir
+
+
+def ivf_cosine_topk_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """IVF query against a PERSISTED index with partition pruning: only
+    the probed lists' parquet partitions are read — the build-once
+    query-many shape for ANN at corpus scale.  Output is byte-identical
+    to ``ivf_cosine_topk`` built from the same data (same centroids,
+    same scan/merge)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent_tbl = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(cent_tbl["list_id"].to_numpy())
+    centroids = np.stack(cent_tbl["centroid"].to_pylist())[order]
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probes]
+    probed = sorted(set(int(x) for x in probes.ravel()))
+    files = [
+        os.path.join(index_dir, f"list={n}", "data.parquet")
+        for n in probed
+        if os.path.exists(os.path.join(index_dir, f"list={n}", "data.parquet"))
+    ]
+    assigned = rd.read_parquet(files).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=4096
+    )  # normalize to pandas blocks for the shared exchange path
+    return _ivf_probe_and_scan(
+        assigned, centroids, queries, k, n_probes, id_col, vec_col
+    )
 
 
 def embedding_near_dup_pairs(

@@ -823,3 +823,30 @@ def test_top_quality_docs_cap_above_group_size(ray_session):
     assert len(out) == n_docs
     assert (out.groupby("source")["rank"].max()
             == out.groupby("source")["doc_id"].count()).all()
+
+
+def test_ivf_persisted_matches_in_memory(ray_session):
+    """The persisted IVF index (partition-pruned reads) returns results
+    byte-identical to the in-memory IVF over the same data, and only
+    the probed lists' partition files exist to be read."""
+    import os
+
+    from rdf_canon_ray.pipelines import corpus
+
+    in_mem = (
+        corpus.ann_ivf_topk(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    persisted = (
+        corpus.ann_ivf_persisted(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert persisted.equals(in_mem)
+    index_dir = "/tmp/rcr_cache/sf0.001/ivf_index_16"
+    assert os.path.exists(f"{index_dir}/centroids.parquet")
+    lists = [d for d in os.listdir(index_dir) if d.startswith("list=")]
+    assert 1 <= len(lists) <= 16
