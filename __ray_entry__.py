@@ -439,20 +439,24 @@ GROUP BY kind
         "media_frames": f"""
 WITH v AS (
   SELECT media_id, width AS W, height AS H, duration_ms,
-         duration_ms // 1000 AS nf, hex(payload) AS hx
+         duration_ms // 1000 AS nf,
+         LEAST(8, GREATEST(1, duration_ms // 1000)) AS n,
+         hex(payload) AS hx
   FROM read_parquet('{media_pq}')
   WHERE kind = 'video' AND duration_ms > 0
 ), f AS (
-  SELECT media_id, W, H, duration_ms, nf, hx,
-         UNNEST(generate_series(0, nf - 1)) AS i
+  SELECT media_id, W, H, duration_ms, nf, n, hx,
+         UNNEST(generate_series(0, n - 1)) AS i,
+         UNNEST(list_transform(generate_series(0, n - 1),
+                               j -> (j * nf) // n)) AS src
   FROM v
 )
 SELECT media_id,
        CAST(i AS INTEGER) AS frame_idx,
-       CAST(FLOOR(i * (CAST(duration_ms AS DOUBLE) / nf)) AS INTEGER) AS ts_ms,
+       CAST(FLOOR(i * (CAST(duration_ms AS DOUBLE) / n)) AS INTEGER) AS ts_ms,
        CAST(W * H AS BIGINT) AS frame_len,
        CAST(list_sum(list_transform(generate_series(0, W * H - 1),
-              b -> CAST(('0x' || substr(hx, 2 * (10 + i * W * H + b) + 1, 2))
+              b -> CAST(('0x' || substr(hx, 2 * (10 + src * W * H + b) + 1, 2))
                         AS INT)))
             AS BIGINT) AS frame_sum
 FROM f

@@ -75,7 +75,12 @@ def _minhash_sig_cache(
     from ..stages.dedup import _minhash_batch
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/rcr_cache/{tag}/minhash_sigs_lt{split_id}_k{shingle_k}"
+    # EVERY signature-shaping parameter belongs in the cache key — a
+    # cache built at one n_perm must never serve another
+    path = (
+        f"/tmp/rcr_cache/{tag}/"
+        f"minhash_sigs_lt{split_id}_k{shingle_k}_p{n_perm}"
+    )
     if os.path.isdir(path) and os.listdir(path):
         return path
     tmp = path + ".tmp"
@@ -99,11 +104,9 @@ def _minhash_sig_cache(
         batch_format="pandas",
         batch_size=256,
     ).write_parquet(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        pass
-    return path
+    from ..util import atomic_publish_dir
+
+    return atomic_publish_dir(tmp, path)
 
 
 def dedup_incremental(

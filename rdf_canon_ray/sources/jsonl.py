@@ -31,7 +31,14 @@ def write_jsonl_partitioned(
 ) -> str:
     """Write ``ds`` as hash-partitioned JSONL under ``out_dir`` (atomic:
     written to a tmp dir, renamed on success).  Rows land in
-    ``part=hash(key) % num_buckets`` regardless of input block order."""
+    ``part=hash(key) % num_buckets`` regardless of input block order.
+    Refuses a pre-existing non-empty ``out_dir`` — a sink must never
+    silently leave old data in place of what it claims to have written."""
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise FileExistsError(
+            f"write_jsonl_partitioned: {out_dir} already exists and is "
+            "non-empty — remove it (or write elsewhere) first"
+        )
     tmp = out_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
@@ -61,11 +68,9 @@ def write_jsonl_partitioned(
         .map_groups(write_bucket, batch_format="pandas")
         .count()
     )
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        pass
-    return out_dir
+    from ..util import atomic_publish_dir
+
+    return atomic_publish_dir(tmp, out_dir)
 
 
 def read_jsonl(path: str) -> rd.Dataset:

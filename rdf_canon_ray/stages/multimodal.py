@@ -446,7 +446,10 @@ def sample_frames(
                 frame_idx.append(i)
                 ts_ms.append(int(i * step))
                 if frames is not None:
-                    blobs.append(frames[i].tobytes())
+                    # source frame AT the emitted timestamp: sample i
+                    # maps to native frame (i·nf)//n, so bytes and ts_ms
+                    # stay aligned when n < nf (equals i when n == nf)
+                    blobs.append(frames[(i * len(frames)) // n].tobytes())
                 else:  # legacy stub slice for undecodable payloads
                     a = (i * 37) % max(1, len(payload))
                     blobs.append(payload[a : a + 64])

@@ -32,6 +32,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_idx(col: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Exact top-k indices by (score desc, id asc), boundary-tie-safe in
+    O(n): an O(n) partition finds the k-th score, every candidate at or
+    above it (ALL boundary ties included) is kept, and only that small
+    candidate set pays the lexsort — unlike bare argpartition, which
+    picks arbitrarily among k-th-boundary ties."""
+    kk = min(k, len(col))
+    if kk == 0:
+        return np.empty(0, dtype=np.int64)
+    kth = -np.partition(-col, kk - 1)[kk - 1]
+    cand = np.flatnonzero(col >= kth)
+    order = np.lexsort((ids[cand], -col[cand]))[:kk]
+    return cand[order]
+
+
 def _probe_dim(ds: rd.Dataset, vec_col: str) -> int:
     """Vector dimensionality from the schema when it carries it
     (fixed_size_list), falling back to a single-row read otherwise."""
@@ -64,10 +79,7 @@ class BatchTopK:
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            # top-k with deterministic (score desc, id asc) tie-break;
-            # full lexsort (not argpartition) so exact score ties at the
-            # k-th boundary resolve by ascending id, not arbitrarily
-            idx = np.lexsort((ids, -col))[:k]
+            idx = _topk_idx(col, ids, k)
             out_q.append(np.full(k, qi, np.int64))
             out_id.append(ids[idx])
             out_s.append(col[idx])
@@ -326,15 +338,13 @@ def _ivf_probe_and_scan(
             vecs = _normalize(np.stack(sub[vec_col].to_numpy()))
             ids = sub[id_col].to_numpy()
             sims = vecs @ qn_l[q_idx].T
-            kk = min(k, len(ids))
             for j, qi in enumerate(q_idx):
                 col = sims[:, j]
-                # full lexsort: boundary score ties resolve by asc id
-                idx = np.lexsort((ids, -col))[:kk]
+                idx = _topk_idx(col, ids, k)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.full(kk, qi, np.int64),
+                            "query_id": np.full(len(idx), qi, np.int64),
                             "vec_id": ids[idx],
                             "score": col[idx],
                         }
@@ -431,11 +441,9 @@ def ivf_index_build(
     assigned.groupby("ivf_list").map_groups(
         write_list, batch_format="pandas"
     ).count()
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        pass
-    return out_dir
+    from ..util import atomic_publish_dir
+
+    return atomic_publish_dir(tmp, out_dir)
 
 
 def ivf_cosine_topk_persisted(
@@ -462,11 +470,37 @@ def ivf_cosine_topk_persisted(
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probes]
     probed = sorted(set(int(x) for x in probes.ravel()))
+    # empty lists legitimately have no partition file (the build writes
+    # only non-empty lists); any OTHER absence means a corrupt/partial
+    # index and must fail loudly — silently skipping a probed partition
+    # would be an unreported recall loss
+    present = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("list=")
+    }
+    missing = [
+        n for n in probed
+        if n in present
+        and not os.path.exists(
+            os.path.join(index_dir, f"list={n}", "data.parquet")
+        )
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"IVF index {index_dir} is corrupt: probed list partitions "
+            f"{missing} have directories but no data files"
+        )
     files = [
         os.path.join(index_dir, f"list={n}", "data.parquet")
         for n in probed
-        if os.path.exists(os.path.join(index_dir, f"list={n}", "data.parquet"))
+        if n in present
     ]
+    if not files:
+        raise FileNotFoundError(
+            f"IVF index {index_dir} has no partitions for probed lists "
+            f"{probed} — index missing or built from an empty dataset"
+        )
     assigned = rd.read_parquet(files).map_batches(
         lambda b: b, batch_format="pandas", batch_size=4096
     )  # normalize to pandas blocks for the shared exchange path

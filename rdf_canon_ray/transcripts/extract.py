@@ -297,19 +297,57 @@ class EntityLinker:
         self.part_count = maps["part_count"]
         self.supp = maps["supp"]
         self.output = output
-        # Arrow lookup tables (built once per worker with the maps)
-        self._cust_keys = pa.array(list(self.cust.keys()), pa.string())
-        self._cust_vals = pa.array(list(self.cust.values()), pa.int64())
-        part_items = list(self.part.items())
-        self._part_keys = pa.array(
-            [f"{n}|{b}" for (n, b), _ in part_items], pa.string()
-        )
-        self._part_vals = pa.array([v for _, v in part_items], pa.int64())
-        self._part_cnts = pa.array(
-            [float(self.part_count[k]) for k, _ in part_items], pa.float64()
-        )
-        self._supp_keys = pa.array(list(self.supp.keys()), pa.string())
-        self._supp_vals = pa.array(list(self.supp.values()), pa.int64())
+        self._arrow_tables = None  # built lazily: only the *_arrow
+        # emitters need them; the post-shuffle quads path never does
+
+    def _arrow(self):
+        if self._arrow_tables is None:
+            part_items = list(self.part.items())
+            self._arrow_tables = {
+                "cust_keys": pa.array(list(self.cust.keys()), pa.string()),
+                "cust_vals": pa.array(list(self.cust.values()), pa.int64()),
+                "part_keys": pa.array(
+                    [f"{n}|{b}" for (n, b), _ in part_items], pa.string()
+                ),
+                "part_vals": pa.array(
+                    [v for _, v in part_items], pa.int64()
+                ),
+                "part_cnts": pa.array(
+                    [float(self.part_count[k]) for k, _ in part_items],
+                    pa.float64(),
+                ),
+                "supp_keys": pa.array(list(self.supp.keys()), pa.string()),
+                "supp_vals": pa.array(list(self.supp.values()), pa.int64()),
+            }
+        return self._arrow_tables
+
+    @property
+    def _cust_keys(self):
+        return self._arrow()["cust_keys"]
+
+    @property
+    def _cust_vals(self):
+        return self._arrow()["cust_vals"]
+
+    @property
+    def _part_keys(self):
+        return self._arrow()["part_keys"]
+
+    @property
+    def _part_vals(self):
+        return self._arrow()["part_vals"]
+
+    @property
+    def _part_cnts(self):
+        return self._arrow()["part_cnts"]
+
+    @property
+    def _supp_keys(self):
+        return self._arrow()["supp_keys"]
+
+    @property
+    def _supp_vals(self):
+        return self._arrow()["supp_vals"]
 
     # -- helpers ------------------------------------------------------
     @staticmethod

@@ -32,3 +32,26 @@ def default_buckets(mult: int = 4, floor: int = 32, ceil: int = 1024) -> int:
     cores keeps every core busy through the tail; the ceiling bounds
     per-bucket scheduling overhead."""
     return max(floor, min(ceil, mult * cluster_cpus()))
+
+
+def atomic_publish_dir(tmp: str, final: str) -> str:
+    """Atomically publish a fully-built ``tmp`` directory at ``final``.
+
+    Cache semantics under concurrent builders: if ``final`` appeared
+    while we were building (another process won the race on the SAME
+    deterministic content), our tmp dir is discarded and the existing
+    dir wins.  Any other rename failure RAISES — callers must never be
+    left silently reading stale or partial data (a prior version of
+    this idiom swallowed every OSError, which could report success while
+    serving an old directory)."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.isdir(final) and os.listdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+        else:
+            raise
+    return final

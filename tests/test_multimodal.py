@@ -128,3 +128,54 @@ def test_pil_decode_parity_when_importable():
         PIL_Image.open(io.BytesIO(encode_ppm(img))).convert("RGB")
     )
     assert np.array_equal(via_pil, decode_ppm(encode_ppm(img)))
+
+
+def test_sample_frames_ts_aligns_with_frame_bytes(ray_session):
+    """When more native frames exist than samples (n < nf), the emitted
+    frame bytes are the frame AT the emitted timestamp, not frame i."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.multimodal import encode_rcrv, sample_frames
+
+    rng = np.random.RandomState(7)
+    nf = 20  # 20 s at 1 fps → sampled n = max_frames = 8
+    frames = rng.randint(0, 256, (nf, 4, 4)).astype(np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([encode_rcrv(frames)], pa.binary()),
+            "duration_ms": pa.array([nf * 1000], pa.int32()),
+        }
+    )
+    out = sample_frames(rd.from_arrow(t)).to_pandas().sort_values("frame_idx")
+    assert len(out) == 8
+    for _, row in out.iterrows():
+        src = (row["frame_idx"] * nf) // 8
+        assert row["frame"] == frames[src].tobytes()
+        # ts and source frame agree at 1 fps: src == ts_ms // 1000
+        assert src == row["ts_ms"] // 1000
+
+
+def test_ivf_persisted_raises_on_corrupt_index(ray_session, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages.similarity import ivf_cosine_topk_persisted
+
+    index_dir = "/tmp/rcr_cache/sf0.001/ivf_index_16"
+    corpus.ann_ivf_persisted("/root/testdata/sf0.001")  # ensure built
+    # clone the index, then gut one list's data file
+    import shutil
+
+    broken = str(tmp_path / "broken_index")
+    shutil.copytree(index_dir, broken)
+    victims = [d for d in os.listdir(broken) if d.startswith("list=")]
+    os.remove(os.path.join(broken, victims[0], "data.parquet"))
+    q = corpus._query_vectors("/root/testdata/sf0.001")
+    with _pytest.raises(FileNotFoundError, match="corrupt"):
+        ivf_cosine_topk_persisted(broken, q, n_probes=16)
