@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
         "ann_ivf_persisted": corpus.ann_ivf_persisted,
+        "embed_quantized": corpus.embed_quantized,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
         "media_feature_sums": corpus.media_feature_sums,
@@ -729,6 +730,26 @@ WITH RECURSIVE d AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
+    extra["embed_quantized"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS mx
+  FROM e
+), q AS (
+  SELECT vec_id, mx,
+         list_transform(v, x -> CAST(round_even(x * 127.0
+                / CASE WHEN mx = 0 THEN 1.0 ELSE mx END, 0) AS BIGINT)) AS qv
+  FROM m
+)
+SELECT vec_id,
+       round_even(mx / 127.0, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS qsum,
+       CAST(list_min(qv) AS BIGINT) AS qmin,
+       CAST(list_max(qv) AS BIGINT) AS qmax
+FROM q
 """
     extra["ann_knn_join"] = """
 WITH r AS (

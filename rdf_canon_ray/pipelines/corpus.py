@@ -224,6 +224,20 @@ def ann_ivf_persisted(sf_dir: str, k: int = 10) -> rd.Dataset:
     )
 
 
+def embed_quantized(sf_dir: str) -> rd.Dataset:
+    """Int8-quantized embeddings projected to the oracle-checkable
+    summary (vec_id, scale, qsum, qmin, qmax) — the list column stays
+    available via ``similarity.quantize_embeddings_int8``."""
+    import pandas as pd
+
+    q = similarity.quantize_embeddings_int8(_embeddings(sf_dir))
+    return q.map_batches(
+        lambda b: b[["vec_id", "scale", "qsum", "qmin", "qmax"]],
+        batch_format="pandas",
+        batch_size=8192,
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     """Embedding-cosine near-dup pairs. The synthetic embeddings have no
     true near-dups (max pairwise cosine ≈ 0.48); 0.35 exercises the

@@ -577,6 +577,41 @@ def embedding_near_dup_pairs(
     return bucketed_map_groups(signed, ["bucket"], pairs, num_buckets=num_buckets)
 
 
+def quantize_embeddings_int8(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Symmetric per-vector int8 quantization (the compression step in
+    front of ANN at corpus scale: 4× smaller than float32, 8× than
+    float64; cosine search dequantizes with one scale multiply).
+    Map-only and fully vectorized: ``q = round_even(x·127 / max|x|)``.
+
+    Output: (id, scale[6dp], q list<int8>) plus the oracle-checkable
+    summary columns qsum/qmin/qmax."""
+
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        mx = np.abs(vecs).max(axis=1, keepdims=True)
+        safe = np.where(mx == 0, 1.0, mx)
+        # x·127/mx (this exact expression — the SQL oracle replays the
+        # same IEEE op order; x/(mx/127) rounds differently)
+        q = np.round(vecs * 127.0 / safe).astype(np.int8)
+        q[np.broadcast_to(mx == 0, q.shape)] = 0
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "scale": np.round(mx[:, 0] / 127.0, 6),
+                "q": list(q),
+                "qsum": q.astype(np.int64).sum(axis=1),
+                "qmin": q.min(axis=1).astype(np.int64),
+                "qmax": q.max(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pandas", batch_size=4096)
+
+
 def knn_join(
     ds: rd.Dataset,
     ref_ids: np.ndarray,

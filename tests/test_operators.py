@@ -850,3 +850,25 @@ def test_ivf_persisted_matches_in_memory(ray_session):
     assert os.path.exists(f"{index_dir}/centroids.parquet")
     lists = [d for d in os.listdir(index_dir) if d.startswith("list=")]
     assert 1 <= len(lists) <= 16
+
+
+def test_embed_quantization_reconstruction(ray_session):
+    """Int8 quantization: |dequantized − original| ≤ scale/2 per
+    element, and the q range stays within int8."""
+    import pyarrow.parquet as pq_mod
+
+    from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages.similarity import quantize_embeddings_int8
+
+    full = quantize_embeddings_int8(corpus._embeddings(SF)).to_pandas()
+    raw = pq_mod.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().set_index("vec_id")
+    assert full["qmin"].ge(-127).all() and full["qmax"].le(127).all()
+    for _, row in full.head(20).iterrows():
+        x = np.asarray(raw.loc[row["vec_id"], "embedding"], np.float64)
+        deq = np.asarray(row["q"], np.float64) * row["scale"]
+        # quantization error ≤ exact_scale/2; the emitted scale is
+        # rounded to 6dp, adding up to 127·5e-7 of dequantization slack
+        exact_scale = np.abs(x).max() / 127.0
+        assert np.abs(deq - x).max() <= exact_scale / 2 + 127 * 5e-7
