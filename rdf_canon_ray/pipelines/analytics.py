@@ -272,6 +272,7 @@ def docs_by_source_jsonl(sf_dir: str) -> rd.Dataset:
             out_dir,
             key_cols=["doc_id"],
             num_buckets=16,
+            if_exists="skip",  # deterministic cache: races are benign
         )
     return _docs_by_source_ds(read_jsonl(out_dir))
 

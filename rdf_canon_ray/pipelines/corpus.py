@@ -89,8 +89,6 @@ def _minhash_sig_cache(
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    import pandas as pd
-
     old = _docs(sf_dir).map_batches(
         lambda b: b[b["doc_id"] < split_id],
         batch_format="pandas",
@@ -228,8 +226,6 @@ def embed_quantized(sf_dir: str) -> rd.Dataset:
     """Int8-quantized embeddings projected to the oracle-checkable
     summary (vec_id, scale, qsum, qmin, qmax) — the list column stays
     available via ``similarity.quantize_embeddings_int8``."""
-    import pandas as pd
-
     q = similarity.quantize_embeddings_int8(_embeddings(sf_dir))
     return q.map_batches(
         lambda b: b[["vec_id", "scale", "qsum", "qmin", "qmax"]],

@@ -293,11 +293,9 @@ def scaled_transcripts_parquet(
         .map_batches(dup, batch_format="pandas", batch_size=32768)
         .write_parquet(tmp_dir)
     )
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:
-        pass
-    return out_dir
+    from ..util import atomic_publish_dir
+
+    return atomic_publish_dir(tmp_dir, out_dir)
 
 
 def transcripts_parquet_partitioned(
@@ -352,11 +350,9 @@ def transcripts_parquet_partitioned(
         .map_groups(write_bucket, batch_format="pandas")
         .count()
     )
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        pass
-    return out_dir
+    from ..util import atomic_publish_dir
+
+    return atomic_publish_dir(tmp, out_dir)
 
 
 def canonical_graphs_partitioned(

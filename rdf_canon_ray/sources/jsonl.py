@@ -28,13 +28,22 @@ def write_jsonl_partitioned(
     out_dir: str,
     key_cols: list[str],
     num_buckets: int = 64,
+    if_exists: str = "error",
 ) -> str:
     """Write ``ds`` as hash-partitioned JSONL under ``out_dir`` (atomic:
     written to a tmp dir, renamed on success).  Rows land in
     ``part=hash(key) % num_buckets`` regardless of input block order.
-    Refuses a pre-existing non-empty ``out_dir`` — a sink must never
-    silently leave old data in place of what it claims to have written."""
+
+    ``if_exists``: ``"error"`` (default — a sink must never silently
+    leave old data in place of what it claims to have written) or
+    ``"skip"`` for deterministic-cache callers, where an existing
+    non-empty target is the SAME content and concurrent builders may
+    race benignly (the atomic publish resolves the race)."""
+    if if_exists not in ("error", "skip"):
+        raise ValueError(f"if_exists must be 'error' or 'skip', got {if_exists!r}")
     if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if if_exists == "skip":
+            return out_dir
         raise FileExistsError(
             f"write_jsonl_partitioned: {out_dir} already exists and is "
             "non-empty — remove it (or write elsewhere) first"

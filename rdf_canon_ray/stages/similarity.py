@@ -208,17 +208,14 @@ def lsh_cosine_topk(
             vecs = _normalize(np.stack(sub[vec_col].to_numpy()))
             ids = sub[id_col].to_numpy()
             sims = vecs @ qn_local[q_idx].T
-            kk = min(k, len(ids))
             for j, qi in enumerate(q_idx):
                 col = sims[:, j]
-                idx = np.argpartition(-col, kk - 1)[:kk]
-                order = np.lexsort((ids[idx], -col[idx]))
-                idx = idx[order]
+                idx = _topk_idx(col, ids, k)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.full(kk, qi, np.int64),
-                            "rank": np.arange(1, kk + 1, dtype=np.int64),
+                            "query_id": np.full(len(idx), qi, np.int64),
+                            "rank": np.arange(1, len(idx) + 1, dtype=np.int64),
                             "vec_id": ids[idx],
                             "score": np.round(col[idx], 6),
                         }
@@ -273,12 +270,22 @@ def ivf_cosine_topk(
     ``cosine_topk``; recall grows with ``n_probes`` (== n_lists ⇒ exact).
     """
     queries = np.asarray(queries, dtype=np.float64)
+    centroids, assigned = _train_and_assign(
+        ds, n_lists, train_sample, id_col, vec_col
+    )
+    return _ivf_probe_and_scan(
+        assigned, centroids, queries, k, n_probes, id_col, vec_col
+    )
+
+
+def _train_and_assign(ds, n_lists, train_sample, id_col, vec_col):
+    """Shared centroid training + list assignment (one definition so
+    the in-memory and persisted-index paths can never drift apart)."""
     sample = np.stack(
         [r[vec_col] for r in ds.limit(train_sample).take(train_sample)]
     ).astype(np.float64)
     centroids = train_ivf_centroids(sample, n_lists)
     cref = ray.put(centroids)
-
     assigned = ds.map_batches(
         _AssignList,
         fn_constructor_kwargs={"cref": cref, "id_col": id_col, "vec_col": vec_col},
@@ -286,9 +293,7 @@ def ivf_cosine_topk(
         batch_size=4096,
         concurrency=default_pool(),
     )
-    return _ivf_probe_and_scan(
-        assigned, centroids, queries, k, n_probes, id_col, vec_col
-    )
+    return centroids, assigned
 
 
 class _AssignList:
@@ -386,17 +391,29 @@ def ivf_index_build(
     train_sample: int = 1024,
 ) -> str:
     """Persist an IVF index: ``centroids.parquet`` + one
-    ``list=N/data.parquet`` partition per inverted list (atomic tmp-dir
-    rename; idempotent).  Build once, query many — the query side reads
-    ONLY its probed lists' partitions (see ``ivf_cosine_topk_persisted``),
+    ``list=N/data.parquet`` partition per NON-EMPTY inverted list + a
+    ``manifest.json`` recording which lists exist with how many rows
+    (the query side's corruption check — absence of a manifested
+    partition fails loudly).  Atomic tmp-dir rename; idempotent, but a
+    cached index is VALIDATED against ``n_lists`` before reuse so a
+    caller-chosen path can never silently serve a different geometry.
+    Build once, query many — queries read only their probed partitions,
     so query I/O scales with n_probes/n_lists of the corpus, not the
     corpus."""
+    import json
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if os.path.isdir(out_dir) and os.listdir(out_dir):
+        cached = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+        if cached.num_rows != n_lists:
+            raise ValueError(
+                f"existing IVF index at {out_dir} has "
+                f"{cached.num_rows} lists, requested n_lists={n_lists} — "
+                "remove it or use a different path"
+            )
         return out_dir
     tmp = out_dir + ".tmp"
     import shutil
@@ -405,10 +422,9 @@ def ivf_index_build(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
 
-    sample = np.stack(
-        [r[vec_col] for r in ds.limit(train_sample).take(train_sample)]
-    ).astype(np.float64)
-    centroids = train_ivf_centroids(sample, n_lists)
+    centroids, assigned = _train_and_assign(
+        ds, n_lists, train_sample, id_col, vec_col
+    )
     pq.write_table(
         pa.table(
             {
@@ -420,14 +436,6 @@ def ivf_index_build(
         ),
         os.path.join(tmp, "centroids.parquet"),
     )
-    cref = ray.put(centroids)
-    assigned = ds.map_batches(
-        _AssignList,
-        fn_constructor_kwargs={"cref": cref, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=default_pool(),
-    )
 
     def write_list(group: pd.DataFrame) -> pd.DataFrame:
         lst = int(group["ivf_list"].iloc[0])
@@ -438,9 +446,17 @@ def ivf_index_build(
         )
         return pd.DataFrame({"list_id": [lst], "rows": [len(group)]})
 
-    assigned.groupby("ivf_list").map_groups(
-        write_list, batch_format="pandas"
-    ).count()
+    written = (
+        assigned.groupby("ivf_list")
+        .map_groups(write_list, batch_format="pandas")
+        .to_pandas()
+    )
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(
+            {str(int(l)): int(r) for l, r in zip(written["list_id"], written["rows"])},
+            f,
+            sort_keys=True,
+        )
     from ..util import atomic_publish_dir
 
     return atomic_publish_dir(tmp, out_dir)
@@ -470,36 +486,42 @@ def ivf_cosine_topk_persisted(
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probes]
     probed = sorted(set(int(x) for x in probes.ravel()))
-    # empty lists legitimately have no partition file (the build writes
-    # only non-empty lists); any OTHER absence means a corrupt/partial
-    # index and must fail loudly — silently skipping a probed partition
-    # would be an unreported recall loss
-    present = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(index_dir)
-        if d.startswith("list=")
-    }
+    # the build's manifest is the authority on which lists exist:
+    # a probed list IN the manifest whose partition file is gone is a
+    # corrupt/partial index and must fail loudly — silently skipping a
+    # probed partition would be an unreported recall loss (lists absent
+    # from the manifest were legitimately empty at build time)
+    import json
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"IVF index {index_dir} has no manifest.json — not a valid "
+            "index (rebuild with ivf_index_build)"
+        )
+    with open(manifest_path) as f:
+        manifest = {int(k): v for k, v in json.load(f).items()}
     missing = [
         n for n in probed
-        if n in present
+        if n in manifest
         and not os.path.exists(
             os.path.join(index_dir, f"list={n}", "data.parquet")
         )
     ]
     if missing:
         raise FileNotFoundError(
-            f"IVF index {index_dir} is corrupt: probed list partitions "
-            f"{missing} have directories but no data files"
+            f"IVF index {index_dir} is corrupt: manifested list "
+            f"partitions {missing} are missing their data files"
         )
     files = [
         os.path.join(index_dir, f"list={n}", "data.parquet")
         for n in probed
-        if n in present
+        if n in manifest
     ]
     if not files:
         raise FileNotFoundError(
             f"IVF index {index_dir} has no partitions for probed lists "
-            f"{probed} — index missing or built from an empty dataset"
+            f"{probed} — index built from an empty dataset?"
         )
     assigned = rd.read_parquet(files).map_batches(
         lambda b: b, batch_format="pandas", batch_size=4096

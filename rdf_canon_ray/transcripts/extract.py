@@ -321,33 +321,17 @@ class EntityLinker:
             }
         return self._arrow_tables
 
-    @property
-    def _cust_keys(self):
-        return self._arrow()["cust_keys"]
-
-    @property
-    def _cust_vals(self):
-        return self._arrow()["cust_vals"]
-
-    @property
-    def _part_keys(self):
-        return self._arrow()["part_keys"]
-
-    @property
-    def _part_vals(self):
-        return self._arrow()["part_vals"]
-
-    @property
-    def _part_cnts(self):
-        return self._arrow()["part_cnts"]
-
-    @property
-    def _supp_keys(self):
-        return self._arrow()["supp_keys"]
-
-    @property
-    def _supp_vals(self):
-        return self._arrow()["supp_vals"]
+    # _cust_keys/_cust_vals/_part_keys/_part_vals/_part_cnts/
+    # _supp_keys/_supp_vals resolve through the lazy dict; __getattr__
+    # only fires for attributes NOT set in __init__, so the hot quads
+    # path never builds the Arrow tables
+    def __getattr__(self, name):
+        if name.startswith("_") and name[1:] in (
+            "cust_keys", "cust_vals", "part_keys", "part_vals",
+            "part_cnts", "supp_keys", "supp_vals",
+        ):
+            return self._arrow()[name[1:]]
+        raise AttributeError(name)
 
     # -- helpers ------------------------------------------------------
     @staticmethod

@@ -241,8 +241,6 @@ def transcripts_parquet(sf_dir: str, cache_root: str = "/tmp/rcr_cache") -> str:
         shutil.rmtree(tmp_dir)
     os.makedirs(os.path.dirname(out_dir), exist_ok=True)
     build_transcripts(sf_dir).write_parquet(tmp_dir)
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:
-        pass  # concurrent writer won the rename
-    return out_dir
+    from ..util import atomic_publish_dir
+
+    return atomic_publish_dir(tmp_dir, out_dir)

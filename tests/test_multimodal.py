@@ -179,3 +179,9 @@ def test_ivf_persisted_raises_on_corrupt_index(ray_session, tmp_path):
     q = corpus._query_vectors("/root/testdata/sf0.001")
     with _pytest.raises(FileNotFoundError, match="corrupt"):
         ivf_cosine_topk_persisted(broken, q, n_probes=16)
+    # wholly deleted partition dir is detected too (manifest authority)
+    broken2 = str(tmp_path / "broken_index2")
+    shutil.copytree(index_dir, broken2)
+    shutil.rmtree(os.path.join(broken2, victims[0]))
+    with _pytest.raises(FileNotFoundError, match="corrupt"):
+        ivf_cosine_topk_persisted(broken2, q, n_probes=16)

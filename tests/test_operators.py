@@ -792,7 +792,9 @@ def test_dedup_incremental_matches_filtered_full(ray_session):
 
     # the old-corpus signature index persisted (reused on the next shard)
     tag = "sf0.001"
-    assert os.path.isdir(f"/tmp/rcr_cache/{tag}/minhash_sigs_lt{split}_k5")
+    assert os.path.isdir(
+        f"/tmp/rcr_cache/{tag}/minhash_sigs_lt{split}_k5_p128"
+    )
 
 
 def test_audio_resample_identity_factor(ray_session):
