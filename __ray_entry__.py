@@ -190,16 +190,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": corpus.media_frames,
         "media_audio_resampled": corpus.media_audio_resampled,
         "media_stats": corpus.media_stats,
+        # web-text curation family
+        "pii_redact": corpus.pii_redact,
+        "line_dedup": corpus.line_dedup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from rdf_canon_ray.pipelines.conformance import manifest_kind_counts
-    from rdf_canon_ray.pipelines.corpus import media_corpus_parquet
+    from rdf_canon_ray.pipelines.corpus import (
+        media_corpus_parquet,
+        web_corpus_parquet,
+    )
+    from rdf_canon_ray.stages.webtext import EMAIL_RE, IPV4_RE, PHONE_RE
     from rdf_canon_ray.stages.text import _LANG_PROFILES, _STOP_EN
     from rdf_canon_ray.transcripts.gen_skewed import skewed_lengths_parquet
 
     media_pq = media_corpus_parquet()  # same parquet the media queries read
+    web_pq = web_corpus_parquet()  # same parquet the web-curation queries read
     skew_pq = skewed_lengths_parquet()  # generator ground truth for skew
     kinds = manifest_kind_counts()
     conf_rows = ", ".join(
@@ -626,6 +634,33 @@ FROM sh, bench
     # equals the byte sum of the decoded content region: PPM pixels
     # (after the ASCII header), WAV samples (after the 44-byte header),
     # or the first RCRV video frame (after the 10-byte header).
+    # web-text curation: both engines are RE2, so the patterns are shared
+    # verbatim (stages/webtext.py defines them once).
+    extra["pii_redact"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{EMAIL_RE}', '[EMAIL]', 'g'),
+      '{PHONE_RE}', '[PHONE]', 'g'),
+      '{IPV4_RE}', '[IP]', 'g') AS redacted
+FROM read_parquet('{web_pq}')
+"""
+    extra["line_dedup"] = f"""
+WITH web AS (SELECT * FROM read_parquet('{web_pq}')),
+lines AS (SELECT unnest(string_split(text, chr(10))) AS line FROM web),
+freq AS (SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 5),
+fl AS (SELECT coalesce(list(line), []) AS fls FROM freq)
+SELECT w.doc_id,
+  CAST(len(string_split(w.text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(string_split(w.text, chr(10)),
+           ln -> NOT list_contains(fl.fls, ln))) AS BIGINT) AS n_kept,
+  coalesce(list_aggregate(list_filter(string_split(w.text, chr(10)),
+           ln -> NOT list_contains(fl.fls, ln)), 'string_agg', chr(10)),
+           '') AS clean_text
+FROM web w CROSS JOIN fl
+"""
     extra["media_feature_sums"] = f"""
 WITH m AS (
   SELECT media_id, kind, hex(payload) AS hx,

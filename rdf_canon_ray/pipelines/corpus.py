@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..stages import dedup, multimodal, similarity, text
+from ..stages import dedup, multimodal, similarity, text, webtext
 from ..util import default_pool
 
 
@@ -240,6 +240,46 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     operator on the top tail."""
     return similarity.embedding_near_dup_pairs(
         _embeddings(sf_dir), threshold=threshold
+    )
+
+
+WEB_PARQUET = "/tmp/rcr_cache/web_corpus_2000_v1.parquet"
+
+
+def web_corpus_parquet(path: str = WEB_PARQUET) -> str:
+    """Persist the deterministic multi-line web corpus (PII tokens +
+    boilerplate lines — see ``stages.webtext``) so the web-curation
+    queries and their DuckDB oracles read the SAME parquet rows."""
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = webtext.synth_web_table(2000)
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _web_ds() -> rd.Dataset:
+    return rd.read_parquet(
+        web_corpus_parquet(), columns=["doc_id", "text"]
+    )
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII span counting + redaction over the web corpus — RE2 Arrow
+    kernels; DuckDB replays the identical patterns (both RE2)."""
+    return webtext.redact_pii(_web_ds())
+
+
+def line_dedup(sf_dir: str, freq_threshold: int = 5) -> rd.Dataset:
+    """CCNet-style boilerplate removal over the web corpus: one global
+    line-frequency exchange, broadcast frequent-line set, map-only
+    document rewrite."""
+    from ..util import default_buckets
+
+    return webtext.remove_boilerplate(
+        _web_ds(), freq_threshold=freq_threshold,
+        num_buckets=default_buckets(),
     )
 
 
