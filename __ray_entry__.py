@@ -111,7 +111,7 @@ def _skewed_sizes(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_canon_ray.pipelines import analytics, corpus, kg
+    from rdf_canon_ray.pipelines import analytics, corpus, graph, kg
 
     return {
         # knowledge-graph construction family (SURVEY.md §2.1-2.2)
@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skewed_graphs": _skewed_graphs,
         "kg_skewed_sizes": _skewed_sizes,
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
+        "kg_comention_edges": lambda sf: graph.comention_edges(sf),
+        "kg_pagerank": lambda sf: graph.pagerank(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
         "pricing_summary": analytics.pricing_summary,
@@ -243,6 +245,44 @@ per_order AS (
 part_resolved AS (
   SELECT p_name, p_brand, MIN(p_partkey) AS pk FROM part GROUP BY 1, 2
 )"""
+    # (conv, entity) mention pairs — shared by the degree / co-mention /
+    # pagerank oracles (mirrors the linker's entity IRI scheme)
+    mention_m = """
+m AS (
+  SELECT 'conv-' || o_orderkey AS conv_id, 'urn:e:cust:' || o_custkey AS entity_iri
+  FROM orders
+  UNION ALL
+  SELECT 'conv-' || o_orderkey, 'urn:e:order:' || o_orderkey FROM orders
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, 'urn:e:order:' || l_orderkey FROM lineitem
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, 'urn:e:part:' || pr.pk
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN part_resolved pr ON p.p_name = pr.p_name AND p.p_brand = pr.p_brand
+  UNION ALL
+  SELECT 'conv-' || l_orderkey, 'urn:e:supp:' || l_suppkey FROM lineitem
+),
+me AS (SELECT DISTINCT conv_id, entity_iri FROM m),
+ed AS (
+  SELECT DISTINCT a.entity_iri AS e1, b.entity_iri AS e2
+  FROM me a JOIN me b
+    ON a.conv_id = b.conv_id AND a.entity_iri < b.entity_iri
+)"""
+    # fixed-iteration PageRank: chained CTEs replay the engine's exact
+    # update r = 0.15 + 0.85 * SUM(r_src / deg_src), mean-1 init
+    pr_iters = 5
+    pr_chain = "".join(
+        f""",
+pr{i + 1} AS (
+  SELECT e.dst AS node, 0.15 + 0.85 * SUM(p.r / g.d) AS r
+  FROM edges e
+  JOIN pr{i} p ON e.src = p.node
+  JOIN deg g ON e.src = g.src
+  GROUP BY e.dst
+)"""
+        for i in range(pr_iters)
+    )
     extra = {
         "w3c_conformance": f"""
 SELECT * FROM (VALUES {conf_rows}) t(kind, n_tests, n_passed)
@@ -884,6 +924,23 @@ m AS (
   SELECT 'urn:e:supp:' || l_suppkey FROM lineitem
 )
 SELECT entity_iri, COUNT(*) AS n_mentions FROM m GROUP BY entity_iri
+""",
+        "kg_comention_edges": f"""
+WITH {part_resolved},
+{mention_m}
+SELECT e1, e2 FROM ed
+""",
+        "kg_pagerank": f"""
+WITH {part_resolved},
+{mention_m},
+edges AS (
+  SELECT e1 AS src, e2 AS dst FROM ed
+  UNION ALL
+  SELECT e2, e1 FROM ed
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg){pr_chain}
+SELECT node AS entity_iri, round_even(r, 6) AS "rank" FROM pr{pr_iters}
 """,
         "kg_entity_degree": f"""
 WITH {part_resolved},

@@ -1,0 +1,276 @@
+"""Graph analytics over the extracted knowledge graph.
+
+The KG side of the engine (``pipelines.kg``) stops at canonicalization
+and per-entity counts; this module adds the classic downstream step a
+KG-construction pipeline feeds: link-analysis over the entity
+co-mention graph.
+
+* ``comention_edges`` — undirected distinct edge list: two entities are
+  connected iff some conversation mentions both.  TWO bucketed
+  exchanges total: (conv bucket: dedup mentions + pandas-vectorized
+  self-merge pair expansion) → (distinct (e1, e2)).  Pair expansion is
+  O(k²) in a conversation's entity count — bounded here by construction
+  (orders have ≤ 7 lineitems → ≤ ~16 entities); ``max_conv_entities``
+  caps k deterministically (lexicographically-first) for adversarial
+  corpora.
+* ``pagerank`` — fixed-iteration damped PageRank, mean-1 normalized
+  (init rank = 1, update r = 0.15 + 0.85·Σ r/deg) so values stay O(1)
+  and round cleanly.  Two execution modes, chosen by a node-count gate
+  exactly like ``dedup_clean``'s drop-set:
+    - adjacency-resident broadcast mode (node table ≤ threshold): the
+      graph is packed ONCE into per-node in-edge lists (one bucketed
+      exchange keyed by dst, exact dedup inside the bucket), after
+      which every iteration is a MAP-ONLY pass — the rank/deg vector
+      ships via ``ray.put`` (node-scale, gated) and per-batch segment
+      sums (``np.add.reduceat`` over the flattened lists) produce the
+      new ranks with zero shuffle.  This is the GraphX/Pregel resident-
+      graph pattern on Ray Data.
+    - partitioned mode (the no-gate fallback): ranks stay a Dataset;
+      each iteration is a bucketed hash join (edges ⋈ ranks on src)
+      plus a grouped sum on dst — the message exchange expressed on the
+      shuffle backbone.  Costs 2 exchanges/iteration but never holds a
+      node-scale table anywhere.
+  The oracle replays the identical fixed iterations as chained SQL
+  CTEs, rounding half-even to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..stages.joins import hash_join
+from ..stages.shuffle import bucketed_map_groups, distinct, grouped_agg
+from ..util import default_buckets
+from .kg import _link_batches
+
+DAMPING = 0.85
+TELEPORT = 0.15
+
+
+def _conv_pairs_expanded(
+    sf_dir: str, max_conv_entities: Optional[int]
+) -> rd.Dataset:
+    """(e1 < e2) co-mention pairs, deduped per conversation (one
+    bucketed exchange: the conv bucket owns every mention of its
+    conversations, so the global (conv, entity) dedup happens in-bucket
+    before expansion)."""
+    ments = _link_batches(sf_dir, None, "mentions")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"], "entity_iri": batch["entity_iri"]}
+        ).drop_duplicates()
+
+    projected = ments.map_batches(
+        project, batch_format="pandas", batch_size=32768
+    )
+
+    def expand(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.drop_duplicates()
+        if max_conv_entities is not None:
+            bucket = (
+                bucket.sort_values(["conv_id", "entity_iri"])
+                .groupby("conv_id", sort=False)
+                .head(max_conv_entities)
+            )
+        m = bucket.merge(bucket, on="conv_id")
+        m = m[m["entity_iri_x"] < m["entity_iri_y"]]
+        return (
+            m.rename(columns={"entity_iri_x": "e1", "entity_iri_y": "e2"})[
+                ["e1", "e2"]
+            ].drop_duplicates()
+        )
+
+    return bucketed_map_groups(
+        projected, ["conv_id"], expand, default_buckets()
+    )
+
+
+def comention_edges(
+    sf_dir: str, max_conv_entities: Optional[int] = None
+) -> rd.Dataset:
+    """Undirected distinct co-mention edges (e1 < e2)."""
+    return distinct(
+        _conv_pairs_expanded(sf_dir, max_conv_entities),
+        ["e1", "e2"],
+        default_buckets(),
+    )
+
+
+def _packed_adjacency(
+    sf_dir: str, max_conv_entities: Optional[int]
+) -> rd.Dataset:
+    """Per-node in-edge lists over the symmetric graph: one row per
+    node — (node, srcs list<str>, deg int64).  The dst bucket owns every
+    (dst, src) row, so global edge dedup AND packing happen in the same
+    single exchange; deg(node) = len(srcs) because the graph is
+    symmetric."""
+    pairs = _conv_pairs_expanded(sf_dir, max_conv_entities)
+
+    def mirror(batch: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame({"dst": batch["e2"], "src": batch["e1"]})
+        b = pd.DataFrame({"dst": batch["e1"], "src": batch["e2"]})
+        return pd.concat([a, b], ignore_index=True)
+
+    sym = pairs.map_batches(mirror, batch_format="pandas", batch_size=32768)
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.drop_duplicates()
+        g = bucket.groupby("dst", sort=False)["src"].agg(list)
+        return pd.DataFrame(
+            {
+                "node": g.index.to_numpy(),
+                "srcs": g.to_numpy(),
+                "deg": np.asarray([len(s) for s in g], np.int64),
+            }
+        )
+
+    return bucketed_map_groups(sym, ["dst"], pack, default_buckets())
+
+
+def pagerank(
+    sf_dir: str,
+    iterations: int = 5,
+    broadcast_threshold: int = 500_000,
+    max_conv_entities: Optional[int] = None,
+    force_partitioned: bool = False,
+) -> rd.Dataset:
+    """Fixed-iteration PageRank over the co-mention graph →
+    (entity_iri, rank) with rank rounded half-even to 6 dp."""
+    if not force_partitioned:
+        adj = _packed_adjacency(sf_dir, max_conv_entities).materialize()
+        deg_df = adj.select_columns(["node", "deg"]).to_pandas()
+        if len(deg_df) <= broadcast_threshold:
+            return _pagerank_broadcast(adj, deg_df, iterations)
+    return _pagerank_partitioned(sf_dir, iterations, max_conv_entities)
+
+
+def _pagerank_broadcast(
+    adj: rd.Dataset, deg_df: pd.DataFrame, iterations: int
+) -> rd.Dataset:
+    """Map-only iterations over the resident packed adjacency."""
+    nodes = deg_df["node"].to_numpy()
+    deg = deg_df["deg"].to_numpy().astype(np.float64)
+    ranks = pd.Series(np.ones(len(nodes), np.float64), index=nodes)
+
+    for _ in range(iterations):
+        # contribution each node sends along every out-edge
+        sends = ray.put(ranks / pd.Series(deg, index=nodes))
+
+        def step(batch: pd.DataFrame) -> pd.DataFrame:
+            s: pd.Series = ray.get(sends)
+            lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in batch["srcs"]]
+            )
+            w = s.reindex(flat).to_numpy()
+            offsets = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sums = np.add.reduceat(w, offsets)
+            return pd.DataFrame(
+                {
+                    "node": batch["node"],
+                    "r": TELEPORT + DAMPING * sums,
+                }
+            )
+
+        out = adj.map_batches(
+            step, batch_format="pandas", batch_size=8192
+        ).to_pandas()
+        ranks = pd.Series(out["r"].to_numpy(), index=out["node"].to_numpy())
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "entity_iri": ranks.index.to_numpy(),
+                "rank": np.round(ranks.to_numpy(), 6),
+            }
+        )
+    )
+
+
+def _pagerank_partitioned(
+    sf_dir: str, iterations: int, max_conv_entities: Optional[int]
+) -> rd.Dataset:
+    """No node-scale state anywhere: degree-annotated symmetric edge
+    table materialized once, then per iteration one bucketed hash join
+    (edges ⋈ ranks on src) + one grouped sum on dst."""
+    edges = comention_edges(sf_dir, max_conv_entities)
+
+    def mirror(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                batch.rename(columns={"e1": "src", "e2": "dst"}),
+                batch.rename(columns={"e2": "src", "e1": "dst"})[
+                    ["src", "dst"]
+                ],
+            ],
+            ignore_index=True,
+        )[["src", "dst"]]
+
+    sym = edges.map_batches(mirror, batch_format="pandas", batch_size=32768)
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["src"], "deg": np.ones(len(batch), np.int64)}
+        )
+
+    deg = grouped_agg(
+        sym.map_batches(ones, batch_format="pandas"),
+        ["src"],
+        {"deg": "sum"},
+        default_buckets(),
+    ).materialize()
+    ewd = hash_join(sym, deg, on="src", num_buckets=default_buckets())
+    ewd = ewd.materialize()
+
+    def init(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["src"], "r": np.ones(len(batch), np.float64)}
+        )
+
+    ranks_ds = deg.map_batches(init, batch_format="pandas")
+    for _ in range(iterations):
+        joined = hash_join(
+            ewd, ranks_ds, on="src", num_buckets=default_buckets()
+        )
+
+        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            w = batch["r"].to_numpy() / batch["deg"].to_numpy()
+            return pd.DataFrame({"node": batch["dst"], "w": w})
+
+        summed = grouped_agg(
+            joined.map_batches(
+                contrib, batch_format="pandas", batch_size=32768
+            ),
+            ["node"],
+            {"w": "sum"},
+            default_buckets(),
+        )
+
+        def damp(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "src": batch["node"],
+                    "r": TELEPORT + DAMPING * batch["w"].to_numpy(),
+                }
+            )
+
+        ranks_ds = summed.map_batches(
+            damp, batch_format="pandas"
+        ).materialize()
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "entity_iri": batch["src"],
+                "rank": np.round(batch["r"].to_numpy(), 6),
+            }
+        )
+
+    return ranks_ds.map_batches(finish, batch_format="pandas")
