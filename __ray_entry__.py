@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_comention_edges": lambda sf: graph.comention_edges(sf),
         "kg_pagerank": lambda sf: graph.pagerank(sf),
+        "kg_triangles": lambda sf: graph.triangle_counts(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
         "pricing_summary": analytics.pricing_summary,
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         "stratified_sample": corpus.stratified_sample,
+        "mix_sources": corpus.mix_sources,
         "top_quality_docs": corpus.top_quality_docs,
         "shuffle_order": corpus.shuffle_order,
         # similarity search family
@@ -646,6 +648,27 @@ WITH ranked AS (
 SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= 10
 """
+    extra["mix_sources"] = """
+WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+q AS (
+  SELECT source,
+         LEAST(c, CAST(floor(
+             (CAST(substr(source, 4) AS INT) + 1) / 210.0 * 300
+         ) AS BIGINT)) AS quota
+  FROM cnt
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank
+FROM ranked r JOIN q ON q.source = r.source
+WHERE r.sample_rank <= q.quota
+"""
     extra["hash_split"] = """
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cd'
@@ -941,6 +964,46 @@ edges AS (
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg){pr_chain}
 SELECT node AS entity_iri, round_even(r, 6) AS "rank" FROM pr{pr_iters}
+""",
+        "kg_triangles": f"""
+WITH {part_resolved},
+{mention_m},
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT e1 AS node FROM ed UNION ALL SELECT e2 FROM ed
+  ) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.e1 < e.e2)
+              THEN e.e1 ELSE e.e2 END AS u,
+         CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.e1 < e.e2)
+              THEN e.e2 ELSE e.e1 END AS v
+  FROM ed e
+  JOIN deg d1 ON d1.node = e.e1
+  JOIN deg d2 ON d2.node = e.e2
+),
+oev AS (SELECT u, v, d.d AS dv FROM oe JOIN deg d ON d.node = oe.v),
+w AS (
+  SELECT o1.u AS a,
+         CASE WHEN (o1.dv < o2.dv) OR (o1.dv = o2.dv AND o1.v < o2.v)
+              THEN o1.v ELSE o2.v END AS bu,
+         CASE WHEN (o1.dv < o2.dv) OR (o1.dv = o2.dv AND o1.v < o2.v)
+              THEN o2.v ELSE o1.v END AS bv
+  FROM oev o1 JOIN oev o2 ON o1.u = o2.u AND o1.v < o2.v
+),
+tri AS (
+  SELECT a, w.bu AS b, w.bv AS c
+  FROM w JOIN oe ON oe.u = w.bu AND oe.v = w.bv
+),
+corner AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, COUNT(*) AS t FROM corner GROUP BY node)
+SELECT tc.node AS entity_iri, CAST(tc.t AS BIGINT) AS n_triangles,
+       round_even(2.0 * tc.t / (deg.d * (deg.d - 1.0)), 6) AS clustering
+FROM tc JOIN deg ON deg.node = tc.node
 """,
         "kg_entity_degree": f"""
 WITH {part_resolved},

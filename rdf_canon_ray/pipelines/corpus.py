@@ -744,6 +744,84 @@ def stratified_sample(sf_dir: str, per_source: int = 10) -> rd.Dataset:
     )
 
 
+def mix_sources(sf_dir: str, target: int = 300) -> rd.Dataset:
+    """Weighted corpus mixing: resample the corpus to a target source
+    mixture (the "50% web / 30% code / 20% books" step of a training
+    run).  Source ``srcN`` gets weight ∝ (N+1); its quota is
+    ``min(count, floor(weight × target))`` and the quota is filled with
+    the documents whose ``md5(doc_id)`` orders first — content-stable,
+    partitioning- and cluster-size-independent, like
+    ``stratified_sample``.
+
+    Shape: one tiny per-source count exchange (|sources| rows) computes
+    the quotas driver-side; the selection pass is the local-top
+    combiner → one bucketed per-source merge, so the shuffle moves at
+    most ``max_quota × sources × num_blocks`` rows, never the corpus.
+
+    Output: (doc_id, source, sample_rank 1-based ≤ quota)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(dtype=object),
+                "cnt": np.ones(len(batch), np.int64),
+            }
+        )
+
+    counts = grouped_agg(
+        docs.map_batches(ones, batch_format="pandas"),
+        ["source"],
+        {"cnt": "sum"},
+        num_buckets=8,
+    ).to_pandas()
+    idx = counts["source"].str.removeprefix("src").astype(int)
+    total_w = float(20 * 21 // 2)  # Σ (N+1) over the 20 sources
+    quota = np.minimum(
+        counts["cnt"].to_numpy(),
+        np.floor((idx.to_numpy() + 1) / total_w * target).astype(np.int64),
+    )
+    quotas = dict(zip(counts["source"], quota.astype(int)))
+    max_quota = int(quota.max())
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "source": batch["source"].to_numpy(dtype=object),
+                "h": h,
+            }
+        )
+        return (
+            out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(max_quota)
+        )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        b["sample_rank"] = b.groupby("source", sort=False).cumcount() + 1
+        lim = b["source"].map(quotas).fillna(0).to_numpy()
+        b = b[b["sample_rank"].to_numpy() <= lim]
+        return b[["doc_id", "source", "sample_rank"]].astype(
+            {"sample_rank": "int64"}
+        )
+
+    local = docs.map_batches(local_top, batch_format="pandas", batch_size=32768)
+    return bucketed_map_groups(local, ["source"], merge, num_buckets=8)
+
+
 def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
     """Deterministic global training order: every document gets the
     0-based rank of its ``md5(doc_id)`` in the corpus-wide hash order

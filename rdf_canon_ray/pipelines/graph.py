@@ -194,6 +194,153 @@ def _pagerank_broadcast(
     )
 
 
+def triangle_counts(
+    sf_dir: str,
+    broadcast_threshold: int = 2_000_000,
+    edge_broadcast_threshold: int = 50_000_000,
+    max_conv_entities: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-mention graph, via DEGREE-ORIENTED wedge generation (the
+    standard scalable triangle algorithm: orient every edge from its
+    lower-(deg, id) endpoint to the higher one, generate wedges only at
+    a node's out-list — total wedge volume O(m^1.5) instead of
+    Σ deg² — then one hash-join closes them against the oriented edge
+    list).  Lexicographic wedge generation would blow up on hub
+    entities (a supplier mentioned in thousands of conversations makes
+    deg² wedges); orientation caps out-degrees at ~√m.
+
+    The degree map ships broadcast (node-scale, gated by
+    ``broadcast_threshold`` like PageRank's rank vector); the wedge →
+    edge close is a partitioned hash join, so the only corpus-scale
+    exchange carries the O(m^1.5) wedge stream.
+
+    Output: (entity_iri, n_triangles, clustering) for every node in at
+    least one triangle; clustering = 2·T / (deg·(deg−1)), half-even
+    6 dp.  The oracle replays the same orientation in SQL."""
+    edges = comention_edges(sf_dir, max_conv_entities).materialize()
+
+    def both_ends(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        batch["e1"].to_numpy(dtype=object),
+                        batch["e2"].to_numpy(dtype=object),
+                    ]
+                ),
+                "deg": np.ones(2 * len(batch), np.int64),
+            }
+        )
+
+    deg = grouped_agg(
+        edges.map_batches(both_ends, batch_format="pandas"),
+        ["node"],
+        {"deg": "sum"},
+        default_buckets(),
+    )
+    deg_df = deg.to_pandas()
+    if len(deg_df) > broadcast_threshold:
+        raise NotImplementedError(
+            "triangle_counts currently requires the degree map to fit "
+            "the broadcast gate; partition the graph or raise the "
+            "threshold"
+        )
+    # Dictionary-encode entities: order codes by (deg, iri) so the
+    # orientation relation u≺v becomes plain integer < — every exchange
+    # from here on carries int64 keys, not ~40-byte IRIs (3-5× less
+    # shuffle volume, int-keyed pandas merges).
+    deg_df = deg_df.sort_values(["deg", "node"], kind="mergesort").reset_index(
+        drop=True
+    )
+    nodes_arr = deg_df["node"].to_numpy(dtype=object)
+    deg_arr = deg_df["deg"].to_numpy().astype(np.int64)
+    code_s = pd.Series(np.arange(len(nodes_arr), dtype=np.int64), index=nodes_arr)
+    code_ref = ray.put(code_s)
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        s: pd.Series = ray.get(code_ref)
+        c1 = s.reindex(batch["e1"].to_numpy(dtype=object)).to_numpy()
+        c2 = s.reindex(batch["e2"].to_numpy(dtype=object)).to_numpy()
+        return pd.DataFrame(
+            {
+                "u": np.minimum(c1, c2).astype(np.int64),
+                "v": np.maximum(c1, c2).astype(np.int64),
+            }
+        )
+
+    oriented = edges.map_batches(
+        orient, batch_format="pandas", batch_size=32768
+    ).materialize()
+
+    # Close wedges in-bucket: the u-bucket owns u's whole out-list, the
+    # oriented edge SET ships broadcast as one sorted int64 key array
+    # (u·n + v; edge-scale — 8 bytes/edge, gated by broadcast_threshold
+    # alongside the node map), so the O(m^1.5) wedge stream never
+    # crosses the wire: generate pairs → membership searchsorted →
+    # bincount corner partials, all fused in one task per bucket.
+    n_codes = len(nodes_arr)
+    if edges.count() > edge_broadcast_threshold:
+        raise NotImplementedError(
+            "triangle_counts ships the oriented edge set broadcast "
+            "(8 B/edge); beyond the gate, close wedges with a "
+            "partitioned hash join on (u, v) instead"
+        )
+    odf = oriented.select_columns(["u", "v"]).to_pandas()
+    ekeys = np.sort(
+        odf["u"].to_numpy().astype(np.int64) * n_codes
+        + odf["v"].to_numpy().astype(np.int64)
+    )
+    ekeys_ref = ray.put(ekeys)
+
+    def wedge_close_corners(bucket: pd.DataFrame) -> pd.DataFrame:
+        keys: np.ndarray = ray.get(ekeys_ref)
+        m = bucket.merge(bucket, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        vx = m["v_x"].to_numpy().astype(np.int64)
+        vy = m["v_y"].to_numpy().astype(np.int64)
+        wkey = vx * n_codes + vy
+        pos = np.searchsorted(keys, wkey).clip(max=len(keys) - 1)
+        hit = keys[pos] == wkey
+        flat = np.concatenate(
+            [m["u"].to_numpy().astype(np.int64)[hit], vx[hit], vy[hit]]
+        )
+        cnt = np.bincount(flat, minlength=n_codes)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "code": nz.astype(np.int64),
+                "n_triangles": cnt[nz].astype(np.int64),
+            }
+        )
+
+    partials = bucketed_map_groups(
+        oriented, ["u"], wedge_close_corners, default_buckets()
+    )
+    counts = grouped_agg(
+        partials, ["code"], {"n_triangles": "sum"}, default_buckets()
+    )
+
+    decode_ref = ray.put((nodes_arr, deg_arr))
+
+    def clustering(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes, degs = ray.get(decode_ref)
+        c = batch["code"].to_numpy().astype(np.int64)
+        d = degs[c].astype(np.float64)
+        t = batch["n_triangles"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "entity_iri": nodes[c],
+                "n_triangles": batch["n_triangles"],
+                "clustering": np.round(2.0 * t / (d * (d - 1.0)), 6),
+            }
+        )
+
+    return counts.map_batches(
+        clustering, batch_format="pandas", batch_size=32768
+    )
+
+
 def _pagerank_partitioned(
     sf_dir: str, iterations: int, max_conv_entities: Optional[int]
 ) -> rd.Dataset:

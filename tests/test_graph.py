@@ -64,6 +64,52 @@ def test_pagerank_broadcast_matches_partitioned(ray_session):
     assert 0.5 < bc["rank"].mean() < 1.5
 
 
+def test_triangle_counts_vs_set_intersection(ray_session):
+    got = (
+        graph.triangle_counts(SF)
+        .to_pandas()
+        .sort_values("entity_iri")
+        .reset_index(drop=True)
+    )
+    # independent ground truth: per-node triangles = Σ_{(a,b)∈E}
+    # |N(a)∩N(b)| distributed to the three corners, via adjacency sets
+    edges = graph.comention_edges(SF).to_pandas()
+    adj = {}
+    for a, b in edges.itertuples(index=False):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {}
+    for a, b in edges.itertuples(index=False):
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                tri[n] = tri.get(n, 0) + 1
+    # each triangle's (a,b,c) is seen via its 3 edges → counted 3× per corner
+    exp = {n: t // 3 for n, t in tri.items()}
+    assert dict(zip(got["entity_iri"], got["n_triangles"])) == exp
+    assert (got["clustering"] > 0).all() and (got["clustering"] <= 1).all()
+
+
+def test_mix_sources_quotas(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    from rdf_canon_ray.pipelines import corpus
+
+    out = corpus.mix_sources(sf).to_pandas()
+    counts = duckdb.sql(
+        f"SELECT source, COUNT(*) AS c FROM read_parquet('{sf}/documents.parquet') GROUP BY 1"
+    ).df()
+    got = out.groupby("source").size()
+    import numpy as np
+
+    for _, row in counts.iterrows():
+        n = int(row["source"].removeprefix("src"))
+        quota = min(int(row["c"]), int(np.floor((n + 1) / 210.0 * 300)))
+        assert got.get(row["source"], 0) == quota
+    # rank is 1..quota per source
+    assert (out.groupby("source")["sample_rank"].max() == got).all()
+
+
 def test_pagerank_cap_is_deterministic(ray_session):
     a = graph.comention_edges(SF, max_conv_entities=3).to_pandas()
     b = graph.comention_edges(SF, max_conv_entities=3).to_pandas()
