@@ -118,7 +118,7 @@ def run_bench() -> dict:
     queries["kg_entity_mentions"] = round(time.time() - t0, 3)
 
     # one representative per secondary operator family (timed once)
-    from rdf_canon_ray.pipelines import analytics, corpus
+    from rdf_canon_ray.pipelines import analytics, corpus, graph
 
     for name, fn in [
         ("pricing_summary", analytics.pricing_summary),
@@ -128,6 +128,9 @@ def run_bench() -> dict:
         ("dedup_minhash_pairs", corpus.minhash_pairs),
         ("ann_topk", corpus.ann_topk),
         ("token_stats", corpus.token_stats),
+        ("kg_pagerank", graph.pagerank),
+        ("line_dedup", corpus.line_dedup),
+        ("mix_sources", corpus.mix_sources),
     ]:
         t0 = time.time()
         fn(sf_dir).count()
