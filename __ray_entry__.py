@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "top_terms": analytics.top_terms,
         "doc_freq": analytics.doc_freq,
+        "inverted_index": analytics.inverted_index,
         "events_price_band": analytics.events_price_band,
         "events_price_floor": analytics.events_price_floor,
         "quality_filtered": analytics.quality_filtered,
@@ -368,6 +369,22 @@ FROM (
   FROM documents
 )
 GROUP BY term
+""",
+        "inverted_index": """
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term
+    FROM documents
+  )
+), r AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM p
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 10000 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY term
 """,
         "tfidf_top_terms": """
 WITH terms AS (

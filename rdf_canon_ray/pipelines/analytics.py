@@ -647,6 +647,52 @@ def doc_freq(sf_dir: str) -> rd.Dataset:
     )
 
 
+def inverted_index(sf_dir: str, max_postings: int = 10000) -> rd.Dataset:
+    """Inverted index build: term → document-frequency + sorted postings
+    list (the retrieval-side artifact a search/RAG pipeline derives from
+    a corpus).  Distinct (term, doc) pairs per batch (combiner), one
+    bucketed exchange keyed by term, postings assembled in-bucket.
+
+    Postings are CSV strings of ascending doc_ids, capped at
+    ``max_postings`` entries per term (stop-word terms have
+    corpus-scale postings — one row must not hold the corpus; real
+    indexes shard those, here the cap keeps the row bounded while
+    ``df`` stays the TRUE distinct count).  Output:
+    (term, df, postings)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = batch.set_index("doc_id")["text"].str.split().explode()
+        df = pairs.reset_index()
+        df.columns = ["doc_id", "term"]
+        return df.drop_duplicates()
+
+    pairs = docs.map_batches(
+        explode_distinct, batch_format="pandas", batch_size=2048
+    )
+
+    def build(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates().sort_values(
+            ["term", "doc_id"], kind="mergesort"
+        )
+        g = b.groupby("term", sort=False)["doc_id"]
+        df_true = g.size()
+        postings = g.agg(
+            lambda x: ",".join(map(str, x.iloc[:max_postings]))
+        )
+        return pd.DataFrame(
+            {
+                "term": df_true.index.to_numpy(dtype=object),
+                "df": df_true.to_numpy().astype(np.int64),
+                "postings": postings.to_numpy(dtype=object),
+            }
+        )
+
+    return bucketed_map_groups(pairs, ["term"], build, num_buckets=32)
+
+
 def events_price_band(sf_dir: str, scale: float = 100.0, radius: float = 5.0) -> rd.Dataset:
     """Range-join instance: for each event, count the parts whose retail
     price falls in the half-open band [100·value − 5, 100·value + 5).
