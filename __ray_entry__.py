@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": analytics.top_terms,
         "doc_freq": analytics.doc_freq,
         "inverted_index": analytics.inverted_index,
+        "distinct_terms_by_source": analytics.distinct_terms_by_source,
+        "approx_distinct_terms": analytics.approx_distinct_terms,
         "events_price_band": analytics.events_price_band,
         "events_price_floor": analytics.events_price_floor,
         "quality_filtered": analytics.quality_filtered,
@@ -385,6 +387,14 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
        string_agg(CASE WHEN rn <= 10000 THEN CAST(doc_id AS VARCHAR) END,
                   ',' ORDER BY doc_id) AS postings
 FROM r GROUP BY term
+""",
+        "distinct_terms_by_source": """
+SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms
+FROM (
+  SELECT source, UNNEST(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents
+)
+GROUP BY source
 """,
         "tfidf_top_terms": """
 WITH terms AS (

@@ -693,6 +693,60 @@ def inverted_index(sf_dir: str, max_postings: int = 10000) -> rd.Dataset:
     return bucketed_map_groups(pairs, ["term"], build, num_buckets=32)
 
 
+def _source_term_pairs(sf_dir: str, batch_size: int = 2048) -> rd.Dataset:
+    """Batch-deduped (source, term) pairs from documents.text."""
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def explode_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = batch.set_index("source")["text"].str.split().explode()
+        df = pairs.reset_index()
+        df.columns = ["source", "term"]
+        return df.drop_duplicates()
+
+    return docs.map_batches(
+        explode_distinct, batch_format="pandas", batch_size=batch_size
+    )
+
+
+def distinct_terms_by_source(sf_dir: str) -> rd.Dataset:
+    """Exact per-source vocabulary size: COUNT(DISTINCT term) per
+    source.  Batch-level dedup combiner → bucketed global distinct on
+    (source, term) → partial counts → tiny grouped sum, so the exchange
+    carries unique pairs, never raw token streams.  The exact anchor for
+    the HLL sketch in ``approx_distinct_terms``.  Output:
+    (source, distinct_terms)."""
+    from ..stages.shuffle import distinct, grouped_agg
+
+    uniq = distinct(_source_term_pairs(sf_dir), ["source", "term"])
+    counts = grouped_agg(uniq, ["source"], {"term": "count"}, num_buckets=4)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "distinct_terms": batch["term"].astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pandas")
+
+
+def approx_distinct_terms(sf_dir: str, p: int = 12) -> rd.Dataset:
+    """Per-source approximate vocabulary size via a mergeable
+    HyperLogLog sketch (stages/sketch.py): per-batch fixed-size register
+    partials, one tiny keyed exchange, elementwise-max merge.  At
+    100 TB the exchange is |sources| × 4 KiB blocks regardless of
+    corpus size — the monitoring-side counterpart of the exact
+    ``distinct_terms_by_source`` (rows-only here; pytest bounds the
+    relative error against the exact oracle-checked companion).
+    Output: (source, approx_distinct)."""
+    from ..stages.sketch import approx_distinct
+
+    return approx_distinct(
+        _source_term_pairs(sf_dir), "source", "term", p=p, num_buckets=4
+    )
+
+
 def events_price_band(sf_dir: str, scale: float = 100.0, radius: float = 5.0) -> rd.Dataset:
     """Range-join instance: for each event, count the parts whose retail
     price falls in the half-open band [100·value − 5, 100·value + 5).
