@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "orders_by_nation": analytics.orders_by_nation,
+        "local_supplier_volume": analytics.local_supplier_volume,
         "events_prev": analytics.events_prev,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1115,6 +1116,20 @@ SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "local_supplier_volume": """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """,
         "events_prev": """

@@ -207,6 +207,129 @@ def orders_by_nation(sf_dir: str) -> rd.Dataset:
     )
 
 
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> rd.Dataset:
+    """TPC-H Q5-shaped multi-way join: revenue by nation where the
+    customer and the line item's supplier sit in the SAME nation of one
+    region, over a date window.  Six tables, composed scale-first:
+
+    * date filter applied at the pruned orders read (rows drop before
+      any exchange);
+    * TWO partitioned hash joins for the fact-fact edges (orders ⋈
+      customer on custkey, then ⋈ lineitem on orderkey — both sides
+      corpus-scale at 100 TB, so they must shuffle, and each join keys
+      one exchange);
+    * supplier→nation, nation→(name, region) ship as broadcast dicts
+      (dimension-scale; supplier is 1/10 000 of lineitem in TPC-H
+      ratios) — the same-nation predicate and the region filter then
+      run map-only;
+    * revenue partials combine per batch before one tiny grouped sum.
+
+    Output: (n_name, revenue) with revenue = Σ extprice·(1−discount)
+    rounded to 4 dp."""
+    from ..stages.joins import hash_join
+
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.loc[
+            (b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi),
+            ["o_orderkey", "o_custkey"],
+        ].rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ord_cust = hash_join(orders, customer, on="c_custkey", num_buckets=16)
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    fact = hash_join(
+        lineitem,
+        ord_cust.map_batches(
+            lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "c_nationkey"]
+            ],
+            batch_format="pandas",
+        ),
+        on="l_orderkey",
+        num_buckets=32,
+    )
+
+    supp_tbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    nat_tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg_tbl = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat_tbl.merge(
+        reg_tbl, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    region_nations = nat.loc[nat["r_name"] == region]
+    dims_ref = ray.put(
+        {
+            "supp_nation": dict(
+                zip(
+                    supp_tbl["s_suppkey"].to_pylist(),
+                    supp_tbl["s_nationkey"].to_pylist(),
+                )
+            ),
+            "nation_name": dict(
+                zip(region_nations["n_nationkey"], region_nations["n_name"])
+            ),
+        }
+    )
+
+    class RevenuePartial:
+        """Same-nation + region predicates map-only off broadcast dims,
+        then a per-batch revenue combiner."""
+
+        def __init__(self, ref):
+            dims = ray.get(ref)
+            self.supp_nation = dims["supp_nation"]
+            self.nation_name = dims["nation_name"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s_nat = batch["l_suppkey"].map(self.supp_nation)
+            keep = (s_nat == batch["c_nationkey"]) & s_nat.isin(
+                self.nation_name
+            )
+            sub = batch.loc[keep]
+            t = pd.DataFrame(
+                {
+                    "n_name": s_nat[keep].map(self.nation_name),
+                    "revenue": sub["l_extendedprice"]
+                    * (1.0 - sub["l_discount"]),
+                }
+            )
+            return t.groupby("n_name", sort=False).sum().reset_index()
+
+    from ..util import default_pool
+
+    partials = fact.map_batches(
+        RevenuePartial,
+        fn_constructor_kwargs={"ref": dims_ref},
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=default_pool(cap=8),
+    )
+    merged = grouped_agg(partials, ["n_name"], {"revenue": "sum"}, num_buckets=4)
+    return merged.map_batches(
+        lambda b: b.assign(revenue=b["revenue"].round(4)),
+        batch_format="pandas",
+    )
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

@@ -79,18 +79,46 @@ def hash_join(
         if right.count() <= broadcast_threshold:
             return broadcast_join(ds=left, small_df=right.to_pandas(),
                                   on=on_cols, how=how)
-    left_cols = [c for c in left.schema().names]
-    right_cols = [c for c in right.schema().names]
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = [c for c in left_schema.names]
+    right_cols = [c for c in right_schema.names]
     overlap = (set(left_cols) & set(right_cols)) - set(on_cols)
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
+
+    # The bucket hash (pd.util.hash_pandas_object) is dtype-sensitive:
+    # int64(7) and float64(7.0) hash differently, and each side's blocks
+    # keep their own dtype through the union.  If the sides disagree on
+    # a key dtype (e.g. one side's key was null-widened to float64 by an
+    # upstream join), equal keys would land in different buckets and the
+    # match would silently drop — so promote keys to one dtype up front.
+    def _pandas_dtypes(schema) -> dict:
+        base = getattr(schema, "base_schema", schema)
+        if hasattr(base, "field"):  # pyarrow schema
+            return {
+                n: base.field(n).type.to_pandas_dtype() for n in base.names
+            }
+        # PandasBlockSchema: numpy dtypes ride in .types
+        return dict(zip(base.names, base.types))
+
+    ldt, rdt = _pandas_dtypes(left_schema), _pandas_dtypes(right_schema)
+    key_cast = {}
+    for k in on_cols:
+        lt, rt = np.dtype(ldt[k]), np.dtype(rdt[k])
+        if lt != rt and lt.kind in "iuf" and rt.kind in "iuf":
+            key_cast[k] = np.result_type(lt, rt)
+
+    def align_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        for k, dt in key_cast.items():
+            batch[k] = batch[k].astype(dt)
+        return batch
 
     combined = list(
         dict.fromkeys(on_cols + left_cols + right_cols + ["_side", "_salt"])
     )
 
     def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        batch = align_keys(batch.copy())
         batch["_side"] = "l"
         # positional spread is enough: the salt only routes rows, the
         # merge result is salt-invariant
@@ -102,7 +130,7 @@ def hash_join(
         return batch.reindex(columns=combined)
 
     def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        batch = align_keys(batch.copy())
         batch["_side"] = "r"
         if salt > 1:
             batch = pd.concat(

@@ -943,3 +943,26 @@ def test_approx_distinct_matches_exact_small_vocab(ray_session):
     m = ap.merge(ex, on="source")
     assert len(m) == len(ap) == len(ex)
     assert (m["approx_distinct"] == m["distinct_terms"]).all()
+
+
+def test_hash_join_mixed_key_dtypes(ray_session):
+    """Keys arriving int64 on one side and float64 on the other (an
+    upstream join's null-widening does this) must still meet in the
+    same bucket — regression for silent row drops from dtype-sensitive
+    bucket hashing."""
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(200, dtype=np.int64), "a": 1})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame(
+            {"k": np.arange(0, 400, 2, dtype=np.float64), "b": 2}
+        )
+    )
+    out = hash_join(left, right, on="k", num_buckets=8).to_pandas()
+    # every even left key (100 of them) matches exactly once
+    assert len(out) == 100
+    assert sorted(out["k"].astype(int)) == list(range(0, 200, 2))
