@@ -145,6 +145,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": analytics.orders_by_nation,
         "local_supplier_volume": analytics.local_supplier_volume,
         "events_prev": analytics.events_prev,
+        "events_running_total": analytics.events_running_total,
+        "source_len_token_corr": analytics.source_len_token_corr,
+        "customer_order_counts": analytics.customer_order_counts,
+        "events_type_pivot": analytics.events_type_pivot,
+        "orders_rollup": analytics.orders_rollup,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
@@ -181,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": corpus.decontaminate,
         "stratified_sample": corpus.stratified_sample,
         "mix_sources": corpus.mix_sources,
+        "weighted_sample": corpus.weighted_sample,
         "top_quality_docs": corpus.top_quality_docs,
         "shuffle_order": corpus.shuffle_order,
         # similarity search family
@@ -676,6 +682,18 @@ WITH ranked AS (
 SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= 10
 """
+    extra["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)
+             / 4503599627370496.0) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round_even(k, 6) AS samp_key
+FROM keyed
+ORDER BY k, doc_id
+LIMIT 100
+"""
     extra["mix_sources"] = """
 WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
 q AS (
@@ -1131,6 +1149,57 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "events_running_total": """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS running_total
+FROM events
+""",
+        "source_len_token_corr": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round_even(
+         (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+         / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))),
+         6
+       ) AS corr_len_tokens
+FROM (
+  SELECT source,
+         CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS y
+  FROM documents
+)
+GROUP BY source
+""",
+        "customer_order_counts": """
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+""",
+        "events_type_pivot": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY user_id
+""",
+        "orders_rollup": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
         "events_prev": """
 SELECT event_id, user_id,

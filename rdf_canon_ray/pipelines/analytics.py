@@ -330,6 +330,202 @@ def local_supplier_volume(
     )
 
 
+def events_running_total(sf_dir: str) -> rd.Dataset:
+    """Cumulative window: per-user running sum of ``value`` in
+    (ts, event_id) order — the unbounded-preceding window function.
+    One user-keyed bucketed exchange; the per-user ordered cumsum is a
+    vectorized pandas kernel inside the bucket (per-user state never
+    crosses tasks; the partitioning assumption is one user's history
+    fits a task, the same contract as sessionization).  Output:
+    (event_id, user_id, running_total)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = b.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "running_total": run.round(6).to_numpy(),
+            }
+        )
+
+    return bucketed_map_groups(events, ["user_id"], run_bucket, num_buckets=16)
+
+
+def source_len_token_corr(sf_dir: str) -> rd.Dataset:
+    """Per-source Pearson correlation of document length (chars) vs
+    token count via MERGEABLE moment partials: each batch emits
+    (n, Σx, Σy, Σxy, Σx², Σy²) per source, one tiny grouped sum, and
+    the closed-form correlation at the end — the single-pass
+    sufficient-statistics pattern every distributed stats engine uses
+    (no per-row data crosses the exchange).  Output: (source, n_docs,
+    corr_len_tokens rounded 6dp)."""
+    docs = _read(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy(np.float64)
+        y = batch["text"].str.split().str.len().to_numpy(np.float64)
+        t = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "n_docs": np.ones(len(batch), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return t.groupby("source", sort=False).sum().reset_index()
+
+    partials = docs.map_batches(partial, batch_format="pandas", batch_size=8192)
+    merged = grouped_agg(
+        partials,
+        ["source"],
+        {c: "sum" for c in ["n_docs", "sx", "sy", "sxy", "sxx", "syy"]},
+        num_buckets=4,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_docs"].to_numpy(np.float64)
+        cov = n * b["sxy"] - b["sx"] * b["sy"]
+        vx = n * b["sxx"] - b["sx"] ** 2
+        vy = n * b["syy"] - b["sy"] ** 2
+        corr = cov / np.sqrt(vx * vy)
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_docs": b["n_docs"].astype(np.int64),
+                "corr_len_tokens": np.round(corr, 6),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join coverage: every customer with its order count,
+    zero-order customers preserved.  Orders pre-aggregate to one row
+    per custkey (combiner + tiny grouped sum) BEFORE the join, so the
+    outer join's right side is key-cardinality-sized, then a
+    partitioned left join attaches counts.  Output:
+    (c_custkey, c_mktsegment, n_orders)."""
+    from ..stages.joins import hash_join
+
+    counts = grouped_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            lambda b: b.assign(n_orders=np.int64(1))
+            .groupby("o_custkey", sort=False)
+            .sum()
+            .reset_index()
+            .rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+            batch_size=65536,
+        ),
+        ["c_custkey"],
+        {"n_orders": "sum"},
+        num_buckets=8,
+    )
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(customer, counts, on="c_custkey", how="left", num_buckets=8)
+    return joined.map_batches(
+        lambda b: b.assign(n_orders=b["n_orders"].fillna(0).astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str) -> rd.Dataset:
+    """PIVOT/crosstab: one row per user with a count column per event
+    type.  The pivot happens in the per-batch combiner (vectorized
+    crosstab against the fixed category set), so the exchange carries
+    one partial row per (user × batch) with 5 int columns — never the
+    raw events.  Output: (user_id, n_click, n_error, n_purchase,
+    n_signup, n_view, n_total)."""
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["user_id"], batch["event_type"])
+        ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0)
+        ct.columns = cols
+        return ct.reset_index()
+
+    partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(
+        partials, ["user_id"], {c: "sum" for c in cols}, num_buckets=8
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        out["n_total"] = out[cols].sum(axis=1)
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def orders_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP / grouping-sets aggregate: order count + revenue at three
+    levels — (priority, status), (priority, ALL), (ALL, ALL).  The
+    corpus-scale pass happens ONCE (per-batch partials → grouped merge
+    at the finest level); the coarser levels re-aggregate the
+    key-cardinality-sized base, so each extra grouping set costs one
+    tiny exchange, not another scan.  Rolled-up keys carry the sentinel
+    'ALL' (driver-friendly vs SQL NULL semantics)."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    keys = ["o_orderpriority", "o_orderstatus"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "n_orders": np.ones(len(batch), np.int64),
+                "revenue": batch["o_totalprice"],
+            }
+        )
+        return t.groupby(keys, sort=False).sum().reset_index()
+
+    partials = orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+    base = grouped_agg(
+        partials, keys, {"n_orders": "sum", "revenue": "sum"}, num_buckets=4
+    )
+    lvl1 = grouped_agg(
+        base.map_batches(
+            lambda b: b.assign(o_orderstatus="ALL"), batch_format="pandas"
+        ),
+        keys,
+        {"n_orders": "sum", "revenue": "sum"},
+        num_buckets=2,
+    )
+    lvl0 = grouped_agg(
+        lvl1.map_batches(
+            lambda b: b.assign(o_orderpriority="ALL"), batch_format="pandas"
+        ),
+        keys,
+        {"n_orders": "sum", "revenue": "sum"},
+        num_buckets=1,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            n_orders=b["n_orders"].astype(np.int64),
+            revenue=b["revenue"].round(4),
+        )
+
+    return base.union(lvl1).union(lvl0).map_batches(finish, batch_format="pandas")
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

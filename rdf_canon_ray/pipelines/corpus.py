@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -820,6 +821,61 @@ def mix_sources(sf_dir: str, target: int = 300) -> rd.Dataset:
 
     local = docs.map_batches(local_top, batch_format="pandas", batch_size=32768)
     return bucketed_map_groups(local, ["source"], merge, num_buckets=8)
+
+
+def weighted_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential keys): P(doc selected) ∝ n_chars, via key =
+    −ln(u)/weight with u a 52-bit uniform from ``md5(doc_id)`` — fully
+    deterministic, so the same sample falls out on any cluster size,
+    any partitioning, and in the DuckDB oracle (which replays the md5
+    → uniform → key math).  Shape: the key is vectorized per batch, a
+    local top-k combiner keeps ≤ k rows per block, the global merge
+    sorts ≤ k×blocks rows — the corpus itself never shuffles.
+    Output: (doc_id, source, n_chars, samp_key rounded 6dp)."""
+    import hashlib
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    scale = float(1 << 52)
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+                for d in batch["doc_id"]
+            ],
+            np.float64,
+        ) / scale
+        key = -np.log(u) / batch["n_chars"].to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "source": batch["source"].to_numpy(dtype=object),
+                "n_chars": batch["n_chars"].to_numpy(),
+                "_key": key,
+            }
+        )
+        return out.nsmallest(k, "_key", keep="all").sort_values(
+            ["_key", "doc_id"], kind="mergesort"
+        ).head(k)
+
+    local = docs.map_batches(local_top, batch_format="pandas", batch_size=32768)
+    picked = local.sort(["_key", "doc_id"]).limit(k)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_chars": b["n_chars"],
+                "samp_key": b["_key"].round(6),
+            }
+        )
+
+    return picked.map_batches(finish, batch_format="pandas")
 
 
 def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
