@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": analytics.customer_order_counts,
         "events_type_pivot": analytics.events_type_pivot,
         "orders_rollup": analytics.orders_rollup,
+        "length_quartiles": analytics.length_quartiles,
+        "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
@@ -1200,6 +1202,20 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
        ROUND(SUM(o_totalprice), 4) AS revenue
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "length_quartiles": """
+SELECT doc_id, source, n_chars,
+       CAST(NTILE(4) OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id
+       ) AS BIGINT) AS tile
+FROM documents
+""",
+        "normalized_text_keys": """
+SELECT doc_id,
+       CAST(len(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')) AS BIGINT)
+         AS norm_len,
+       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')) AS norm_key
+FROM documents
 """,
         "events_prev": """
 SELECT event_id, user_id,

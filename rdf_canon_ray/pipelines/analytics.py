@@ -526,6 +526,74 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
     return base.union(lvl1).union(lvl0).map_batches(finish, batch_format="pandas")
 
 
+def length_quartiles(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+    """NTILE window: assign each document its length quartile within
+    its source (the bucketing step of curriculum/quality binning).
+    One source-keyed exchange; the tile assignment is exact NTILE
+    semantics (first ``n % tiles`` tiles get the extra row), vectorized
+    per source.  Output: (doc_id, source, n_chars, tile)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["source", "n_chars", "doc_id"], kind="mergesort"
+        )
+        r = b.groupby("source", sort=False).cumcount().to_numpy()
+        n = b.groupby("source", sort=False)["doc_id"].transform("size").to_numpy()
+        base, rem = n // tiles, n % tiles
+        cut = rem * (base + 1)
+        tile = np.where(
+            r < cut,
+            r // np.maximum(base + 1, 1),
+            rem + (r - cut) // np.maximum(base, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(dtype=object),
+                "n_chars": b["n_chars"].to_numpy(),
+                "tile": tile.astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(docs, ["source"], run_bucket, num_buckets=8)
+
+
+def normalized_text_keys(sf_dir: str) -> rd.Dataset:
+    """Scalar string-function chain: casefold + whitespace-collapse +
+    strip, then an md5 content key of the normalized text — the
+    canonical-form step ahead of exact dedup.  Pure map-only (no
+    exchange); vectorized pandas str kernels, md5 per row on the
+    id-scale digest column only.  Output: (doc_id, norm_len,
+    norm_key)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        # explicit ASCII whitespace class + strip(' ') so Python re and
+        # DuckDB RE2 agree byte-for-byte (\s differs on unicode spaces)
+        t = (
+            batch["text"]
+            .str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_len": t.str.len().astype(np.int64),
+                "norm_key": [
+                    hashlib.md5(s.encode()).hexdigest() for s in t
+                ],
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pandas", batch_size=8192)
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""
