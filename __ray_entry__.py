@@ -493,6 +493,38 @@ SELECT doc_id,
        )) AS UBIGINT) AS rolling_min_fp
 FROM d
 """,
+        "dedup_simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (
+    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+th AS (SELECT doc_id, term, w, md5(term) AS h FROM toks),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN ((('0x' || substr(h, 2 * (7 - bb.b // 8) + 1, 2))::INT
+                         >> (bb.b % 8)) & 1) = 1 THEN w ELSE -w END) AS acc
+  FROM th CROSS JOIN (SELECT UNNEST(range(0, 64)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+fpbytes AS (
+  SELECT doc_id, (7 - b // 8) AS byte_i,
+         CAST(SUM(CASE WHEN acc > 0 THEN (1 << (b % 8)) ELSE 0 END) AS INT) AS byte_v
+  FROM bits GROUP BY doc_id, byte_i
+),
+fp AS (
+  SELECT doc_id, list(byte_v ORDER BY byte_i) AS bytes FROM fpbytes GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> bit_count(xor(a.bytes[i], b.bytes[i])))) AS BIGINT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+""",
         "dedup_ngram_jaccard": """
 WITH d AS (
   SELECT doc_id, text,

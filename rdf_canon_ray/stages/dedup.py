@@ -754,8 +754,25 @@ def dup_groups_from_pairs(
 
 
 # -------------------------------------------------------------- simhash
+# process-level token→hash cache: md5 is Python-level work per UNIQUE
+# token, amortized across every batch a worker processes (Zipf
+# vocabulary → near-total hit rate after warmup)
+_SIMHASH_TOKEN_CACHE: dict = {}
+
+
+def _md5_64_local(s: str) -> int:
+    """Big-endian first 8 bytes of md5 — equals int(md5_hex[:16], 16)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 class SimHasher:
-    """64-bit simhash over word tokens."""
+    """64-bit simhash over word tokens.
+
+    Token hash = big-endian first 8 bytes of ``md5(token)`` — chosen so
+    the whole fingerprint computation is REPLAYABLE in SQL (DuckDB
+    md5 + hex byte extraction), which is what upgrades
+    ``dedup_simhash_pairs`` from rows-only to a value-hash-checked
+    oracle query."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         import re
@@ -770,13 +787,19 @@ class SimHasher:
         toks = self.word_re.findall(text.lower())
         if not toks:
             return np.uint64(0)
-        # vectorized: deterministic 64-bit token hashes (fixed-key
-        # pandas hashing), bit-expand, signed sum per bit position
-        h = pd.util.hash_pandas_object(
-            pd.Series(toks, dtype=object), index=False
-        ).to_numpy()
+        counts = pd.Series(toks, dtype=object).value_counts()
+        cache = _SIMHASH_TOKEN_CACHE
+        h = np.fromiter(
+            (
+                cache.get(t) or cache.setdefault(t, _md5_64_local(t))
+                for t in counts.index
+            ),
+            dtype=np.uint64,
+            count=len(counts),
+        )
+        w = counts.to_numpy(np.int64)
         bits = (h[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)
-        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        acc = (np.where(bits == 1, 1, -1) * w[:, None]).sum(axis=0)
         out = np.uint64(0)
         for i in np.flatnonzero(acc > 0):
             out |= np.uint64(1) << np.uint64(i)
@@ -857,7 +880,7 @@ def simhash_pairs(
             ids, shs = ids[order], shs[order]
             ia, ib = np.triu_indices(len(ids), k=1)
             x = shs[ia] ^ shs[ib]
-            ham = np.array([bin(int(v)).count("1") for v in x], np.int32)
+            ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
             keep = ham <= max_hamming
             outs.append(
                 pd.DataFrame(
@@ -874,7 +897,7 @@ def simhash_pairs(
                 {
                     "id_a": pd.Series([], dtype="int64"),
                     "id_b": pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int32"),
+                    "hamming": pd.Series([], dtype="int64"),
                 }
             )
         return pd.concat(outs, ignore_index=True).drop_duplicates(
