@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": analytics.events_type_pivot,
         "orders_rollup": analytics.orders_rollup,
         "length_quartiles": analytics.length_quartiles,
+        "value_quantiles": analytics.value_quantiles,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1241,6 +1242,18 @@ SELECT doc_id, source, n_chars,
          PARTITION BY source ORDER BY n_chars, doc_id
        ) AS BIGINT) AS tile
 FROM documents
+""",
+        "value_quantiles": """
+WITH b AS (
+  SELECT event_type, CAST(floor(32 * log2(value)) AS BIGINT) AS bin
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round_even(pow(2.0, (quantile_disc(bin, 0.5) + 0.5) / 32.0), 6) AS p50_est,
+       round_even(pow(2.0, (quantile_disc(bin, 0.9) + 0.5) / 32.0), 6) AS p90_est,
+       round_even(pow(2.0, (quantile_disc(bin, 0.99) + 0.5) / 32.0), 6) AS p99_est
+FROM b
+GROUP BY event_type
 """,
         "normalized_text_keys": """
 SELECT doc_id,

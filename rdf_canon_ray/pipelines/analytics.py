@@ -594,6 +594,55 @@ def normalized_text_keys(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(norm, batch_format="pandas", batch_size=8192)
 
 
+def value_quantiles(sf_dir: str, res: int = 32) -> rd.Dataset:
+    """Approximate quantiles over an UNBOUNDED positive float domain
+    via log-scale histogram sketch: bin = floor(res·log2(v)) — a
+    mergeable fixed-cardinality summary (≤ res·64 cells per key no
+    matter the corpus size; relative error ≤ 2^(1/res)−1 ≈ 2.2% at
+    res=32).  Complements ``length_quantiles`` (exact, bounded int
+    domain): per-batch binned counts → one tiny grouped sum → quantile
+    from the cumulative histogram.  Binning is deterministic, so the
+    DuckDB oracle replays it exactly (quantile_disc over the bin
+    multiset, same representative-point formula).  Output:
+    (event_type, n_events, p50_est, p90_est, p99_est)."""
+    from ..stages.shuffle import per_key_map_groups
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(
+            res * np.log2(batch["value"].to_numpy(np.float64))
+        ).astype(np.int64)
+        t = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bin": bins,
+                "cnt": np.ones(len(batch), np.int64),
+            }
+        )
+        return t.groupby(["event_type", "bin"], sort=False).sum().reset_index()
+
+    partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
+    hist = grouped_agg(
+        partials, ["event_type", "bin"], {"cnt": "sum"}, num_buckets=4
+    )
+
+    def quant(key, sub: pd.DataFrame) -> pd.DataFrame:
+        sub = sub.sort_values("bin")
+        c = sub["cnt"].to_numpy(np.int64)
+        bins = sub["bin"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        out = {"event_type": key, "n_events": n}
+        for q, name in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            k = int(np.ceil(q * n))
+            b = int(bins[np.searchsorted(cum, k)])
+            out[name] = round(2.0 ** ((b + 0.5) / res), 6)
+        return pd.DataFrame([out])
+
+    return per_key_map_groups(hist, "event_type", quant, num_buckets=4)
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

@@ -966,3 +966,19 @@ def test_hash_join_mixed_key_dtypes(ray_session):
     # every even left key (100 of them) matches exactly once
     assert len(out) == 100
     assert sorted(out["k"].astype(int)) == list(range(0, 200, 2))
+
+
+def test_value_quantiles_error_bound(ray_session):
+    """Log-binned quantile estimates land within one bin (≤ ~2.2%
+    relative at res=32, plus the half-bin representative offset) of the
+    exact discrete quantile."""
+    from rdf_canon_ray.pipelines import analytics
+
+    got = analytics.value_quantiles(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for etype, sub in ev.groupby("event_type"):
+        v = np.sort(sub["value"].to_numpy())
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            exact = v[int(np.ceil(q * len(v))) - 1]
+            est = got.loc[etype, col]
+            assert abs(est - exact) / exact < 0.03, (etype, col, est, exact)
