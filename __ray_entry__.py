@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": analytics.orders_rollup,
         "length_quartiles": analytics.length_quartiles,
         "value_quantiles": analytics.value_quantiles,
+        "funnel_completions": analytics.funnel_completions,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -199,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": corpus.ann_ivf_topk,
         "ann_ivf_persisted": corpus.ann_ivf_persisted,
         "embed_quantized": corpus.embed_quantized,
+        "label_centroids": corpus.label_centroids,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
         "media_feature_sums": corpus.media_feature_sums,
@@ -910,6 +912,13 @@ WITH RECURSIVE d AS (
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
 """
+    extra["label_centroids"] = """
+SELECT CAST(label AS BIGINT) AS label, CAST(d.i AS BIGINT) AS dim,
+       round_even(SUM(CAST(embedding[d.i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM embeddings
+CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) d
+GROUP BY label, d.i
+"""
     extra["embed_quantized"] = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1242,6 +1251,26 @@ SELECT doc_id, source, n_chars,
          PARTITION BY source ORDER BY n_chars, doc_id
        ) AS BIGINT) AS tile
 FROM documents
+""",
+        "funnel_completions": """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts
+FROM s JOIN c ON s.user_id = c.user_id JOIN p ON c.user_id = p.user_id
 """,
         "value_quantiles": """
 WITH b AS (

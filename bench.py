@@ -124,6 +124,7 @@ def run_bench() -> dict:
         ("pricing_summary", analytics.pricing_summary),
         ("events_hourly", analytics.events_hourly),
         ("orders_by_nation", analytics.orders_by_nation),
+        ("local_supplier_volume", analytics.local_supplier_volume),
         ("dedup_exact", corpus.dedup_exact),
         ("dedup_minhash_pairs", corpus.minhash_pairs),
         ("ann_topk", corpus.ann_topk),

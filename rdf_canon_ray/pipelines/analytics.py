@@ -643,6 +643,42 @@ def value_quantiles(sf_dir: str, res: int = 32) -> rd.Dataset:
     return per_key_map_groups(hist, "event_type", quant, num_buckets=4)
 
 
+def funnel_completions(sf_dir: str) -> rd.Dataset:
+    """Ordered-sequence pattern matching (the funnel / MATCH_RECOGNIZE
+    family): users who completed signup → click → purchase strictly in
+    time order, with each step's earliest qualifying timestamp
+    (click after the first signup, purchase after that click).  One
+    user-keyed exchange; the three-step resolution is vectorized
+    grouped-min + merge + filter inside the bucket — per-user event
+    history never leaves its bucket.  Output: (user_id, signup_ts,
+    click_ts, purchase_ts), completers only."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        def step(etype: str, after: pd.Series | None) -> pd.Series:
+            sub = bucket.loc[bucket["event_type"] == etype, ["user_id", "ts"]]
+            if after is not None:
+                lim = sub["user_id"].map(after)
+                sub = sub.loc[sub["ts"] > lim]
+            return sub.groupby("user_id")["ts"].min()
+
+        s = step("signup", None)
+        c = step("click", s)
+        p = step("purchase", c)
+        out = (
+            pd.concat(
+                {"signup_ts": s, "click_ts": c, "purchase_ts": p}, axis=1
+            )
+            .dropna()
+            .reset_index()
+        )
+        return out[["user_id", "signup_ts", "click_ts", "purchase_ts"]]
+
+    return bucketed_map_groups(events, ["user_id"], resolve, num_buckets=16)
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

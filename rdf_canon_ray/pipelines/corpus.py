@@ -878,6 +878,55 @@ def weighted_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
     return picked.map_batches(finish, batch_format="pandas")
 
 
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroid (the cluster-statistics / class-
+    prototype step of embedding-space curation), emitted as one row per
+    (label, dim) so the result flows through the driver compare (list
+    columns don't).  Per-batch vectorized matrix sums per label →
+    grouped merge of (Σx, n) partials → mean — the exchange carries
+    |labels|·dim·|batches| partial cells, never vectors.  Output:
+    (label, dim 1-based, centroid rounded 6dp)."""
+    from ..stages.shuffle import grouped_agg
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for label, sub in batch.groupby("label", sort=False):
+            m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            s = m.sum(axis=0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(m.shape[1], int(label), np.int64),
+                        "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                        "s": s,
+                        "n": np.full(m.shape[1], len(sub), np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = emb.map_batches(partial, batch_format="pandas", batch_size=8192)
+    merged = grouped_agg(
+        partials, ["label", "dim"], {"s": "sum", "n": "sum"}, num_buckets=4
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": b["label"].astype(np.int64),
+                "dim": b["dim"].astype(np.int64),
+                "centroid": (b["s"] / b["n"]).round(6),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
     """Deterministic global training order: every document gets the
     0-based rank of its ``md5(doc_id)`` in the corpus-wide hash order
