@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
+        "docs_by_source_csv": analytics.docs_by_source_csv,
         "orders_by_nation": analytics.orders_by_nation,
         "local_supplier_volume": analytics.local_supplier_volume,
         "events_prev": analytics.events_prev,
@@ -1163,6 +1164,10 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,
         "docs_by_source_jsonl": """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+""",
+        "docs_by_source_csv": """
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,

@@ -749,6 +749,25 @@ def docs_by_source_jsonl(sf_dir: str) -> rd.Dataset:
     return _docs_by_source_ds(read_jsonl(out_dir))
 
 
+def docs_by_source_csv(sf_dir: str) -> rd.Dataset:
+    """Same aggregation through a FULL CSV round trip (partitioned CSV
+    sink → streaming CSV source), sharing ``docs_by_source``'s oracle —
+    value-hash checks the third interchange format end to end."""
+    from ..sources.csv import read_csv, write_csv_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/rcr_cache/{tag}/docs_csv_16"
+    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+        write_csv_partitioned(
+            _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+            out_dir,
+            key_cols=["doc_id"],
+            num_buckets=16,
+            if_exists="skip",  # deterministic cache: races are benign
+        )
+    return _docs_by_source_ds(read_csv(out_dir))
+
+
 def _docs_by_source_ds(docs: rd.Dataset) -> rd.Dataset:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch.assign(n_docs=np.ones(len(batch), np.int64))
