@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quartiles": analytics.length_quartiles,
         "value_quantiles": analytics.value_quantiles,
         "funnel_completions": analytics.funnel_completions,
+        "props_k_stats": analytics.props_k_stats,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": corpus.ann_ivf_persisted,
         "embed_quantized": corpus.embed_quantized,
         "label_centroids": corpus.label_centroids,
+        "embed_zscore": corpus.embedding_zscore_checksums,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
         "media_feature_sums": corpus.media_feature_sums,
@@ -920,6 +922,26 @@ FROM embeddings
 CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) d
 GROUP BY label, d.i
 """
+    extra["embed_zscore"] = """
+WITH sums AS (
+  SELECT d.i AS dim,
+         SUM(CAST(embedding[d.i] AS DOUBLE)) AS sx,
+         SUM(CAST(embedding[d.i] AS DOUBLE) * CAST(embedding[d.i] AS DOUBLE)) AS sxx,
+         COUNT(*) AS n
+  FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) d
+  GROUP BY d.i
+),
+stats AS (
+  SELECT dim, sx / n AS mu,
+         sqrt(sxx / n - (sx / n) * (sx / n)) AS sigma
+  FROM sums
+)
+SELECT e.vec_id,
+       round_even(SUM((CAST(e.embedding[s.dim] AS DOUBLE) - s.mu) / s.sigma), 6)
+         AS zsum
+FROM embeddings e CROSS JOIN stats s
+GROUP BY e.vec_id
+"""
     extra["embed_quantized"] = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1256,6 +1278,18 @@ SELECT doc_id, source, n_chars,
          PARTITION BY source ORDER BY n_chars, doc_id
        ) AS BIGINT) AS tile
 FROM documents
+""",
+        "props_k_stats": """
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE regexp_matches(props, '"k":\\s*(-?\\d+)')
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       round_even(SUM(k) / COUNT(*), 6) AS mean_k
+FROM x GROUP BY event_type
 """,
         "funnel_completions": """
 WITH s AS (

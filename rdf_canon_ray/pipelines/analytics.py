@@ -679,6 +679,44 @@ def funnel_completions(sf_dir: str) -> rd.Dataset:
     return bucketed_map_groups(events, ["user_id"], resolve, num_buckets=16)
 
 
+def props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured column handling: extract the ``k`` field from
+    the flat-JSON ``props`` column (vectorized RE2 extraction — the
+    fast path for known-schema JSON; DuckDB replays the identical
+    pattern) and aggregate per event type.  Output: (event_type,
+    n_with_k, sum_k, mean_k rounded 6dp)."""
+    events = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False),
+            errors="coerce",
+        )
+        ok = k.notna()
+        t = pd.DataFrame(
+            {
+                "event_type": batch.loc[ok, "event_type"],
+                "n_with_k": np.ones(int(ok.sum()), np.int64),
+                "sum_k": k[ok].astype(np.int64),
+            }
+        )
+        return t.groupby("event_type", sort=False).sum().reset_index()
+
+    partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(
+        partials, ["event_type"], {"n_with_k": "sum", "sum_k": "sum"}, num_buckets=2
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            n_with_k=b["n_with_k"].astype(np.int64),
+            sum_k=b["sum_k"].astype(np.int64),
+            mean_k=(b["sum_k"] / b["n_with_k"]).round(6),
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

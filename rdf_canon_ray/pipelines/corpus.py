@@ -927,6 +927,76 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
     return merged.map_batches(finish, batch_format="pandas")
 
 
+def embedding_zscore_checksums(sf_dir: str) -> rd.Dataset:
+    """Standard-scaler pattern over the embedding table: per-dimension
+    (Σx, Σx², n) moment partials → one tiny grouped merge → population
+    mean/std per dim broadcast via ``ray.put`` → MAP-ONLY z-score
+    transform.  The fit statistics are dimension-scale (64 rows), never
+    vector-scale; the transform pass is vectorized matrix math per
+    batch.  Output: (vec_id, zsum rounded 6dp) — the per-vector sum of
+    standardized components, a scalar checksum the DuckDB oracle
+    recomputes with the identical formula (list columns themselves
+    don't flow through the driver compare)."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "sx": m.sum(axis=0),
+                "sxx": (m * m).sum(axis=0),
+                "n": np.full(m.shape[1], len(batch), np.int64),
+            }
+        )
+
+    stats = (
+        grouped_agg(
+            emb.map_batches(moments, batch_format="pandas", batch_size=8192),
+            ["dim"],
+            {"sx": "sum", "sxx": "sum", "n": "sum"},
+            num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    n = stats["n"].to_numpy(np.float64)
+    mu = stats["sx"].to_numpy() / n
+    var = stats["sxx"].to_numpy() / n - mu * mu
+    sigma = np.sqrt(var)
+    params = ray.put({"mu": mu, "sigma": sigma})
+
+    class ZScore:
+        def __init__(self, ref):
+            p = ray.get(ref)
+            self.mu, self.sigma = p["mu"], p["sigma"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            z = (m - self.mu[None, :]) / self.sigma[None, :]
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "zsum": np.round(z.sum(axis=1), 6),
+                }
+            )
+
+    return emb.map_batches(
+        ZScore,
+        fn_constructor_kwargs={"ref": params},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=default_pool(cap=8),
+    )
+
+
 def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
     """Deterministic global training order: every document gets the
     0-based rank of its ``md5(doc_id)`` in the corpus-wide hash order
