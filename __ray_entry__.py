@@ -155,6 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": analytics.value_quantiles,
         "funnel_completions": analytics.funnel_completions,
         "props_k_stats": analytics.props_k_stats,
+        "latest_event_per_user": analytics.latest_event_per_user,
+        "docs_above_avg": analytics.docs_above_avg,
+        "orders_priority_share": analytics.orders_priority_share,
+        "events_dow_hour": analytics.events_dow_hour,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1278,6 +1282,42 @@ SELECT doc_id, source, n_chars,
          PARTITION BY source ORDER BY n_chars, doc_id
        ) AS BIGINT) AS tile
 FROM documents
+""",
+        "latest_event_per_user": """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "docs_above_avg": """
+WITH m AS (
+  SELECT source, SUM(n_chars) / COUNT(*) AS mu, COUNT(*) AS n
+  FROM documents GROUP BY source
+)
+SELECT d.source, CAST(m.n AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars > m.mu THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       round_even(m.mu, 6) AS mean_chars
+FROM documents d JOIN m ON d.source = m.source
+GROUP BY d.source, m.n, m.mu
+""",
+        "orders_priority_share": """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round_even(SUM(o_totalprice), 4) AS revenue,
+       round_even(SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER (), 6)
+         AS share
+FROM orders GROUP BY o_orderpriority
+""",
+        "events_dow_hour": """
+SELECT CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round_even(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
 """,
         "props_k_stats": """
 WITH x AS (

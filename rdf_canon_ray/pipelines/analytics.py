@@ -717,6 +717,178 @@ def props_k_stats(sf_dir: str) -> rd.Dataset:
     return merged.map_batches(finish, batch_format="pandas")
 
 
+def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    """Grouped ARGMAX (the LAST_VALUE window family): each user's most
+    recent event row, ties on ts broken by highest event_id.  The
+    combiner keeps one row per user per batch, so the exchange carries
+    |users|×|batches| rows at most — never the event stream.  Output:
+    (user_id, event_id, ts, event_type, value)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+
+    def keep_latest(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return b.groupby("user_id", sort=False).tail(1)
+
+    return bucketed_map_groups(
+        events,
+        ["user_id"],
+        keep_latest,
+        num_buckets=8,
+        local_combine=keep_latest,
+    )
+
+
+def docs_above_avg(sf_dir: str) -> rd.Dataset:
+    """Correlated-aggregate filter (fit → broadcast → filter): per
+    source, how many documents are strictly longer than the source's
+    mean length.  Pass 1 is a tiny (Σ, n) exchange; the means broadcast
+    via ``ray.put``; pass 2 is a map-only filter + count partial and a
+    second tiny grouped sum — the corpus never shuffles.  Output:
+    (source, n_docs, n_above, mean_chars rounded 6dp)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def sums(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "s": batch["n_chars"].astype(np.int64),
+                "n": np.ones(len(batch), np.int64),
+            }
+        )
+        return t.groupby("source", sort=False).sum().reset_index()
+
+    stats = (
+        grouped_agg(
+            docs.map_batches(sums, batch_format="pandas", batch_size=65536),
+            ["source"],
+            {"s": "sum", "n": "sum"},
+            num_buckets=2,
+        )
+        .to_pandas()
+    )
+    means = dict(zip(stats["source"], stats["s"] / stats["n"]))
+    means_ref = ray.put(means)
+
+    class AboveMean:
+        def __init__(self, ref):
+            self.means = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mu = batch["source"].map(self.means)
+            t = pd.DataFrame(
+                {
+                    "source": batch["source"],
+                    "n_docs": np.ones(len(batch), np.int64),
+                    "n_above": (
+                        batch["n_chars"].to_numpy(np.float64) > mu.to_numpy()
+                    ).astype(np.int64),
+                }
+            )
+            return t.groupby("source", sort=False).sum().reset_index()
+
+    from ..util import default_pool
+
+    partials = docs.map_batches(
+        AboveMean,
+        fn_constructor_kwargs={"ref": means_ref},
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=default_pool(cap=8),
+    )
+    merged = grouped_agg(
+        partials, ["source"], {"n_docs": "sum", "n_above": "sum"}, num_buckets=2
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            n_docs=b["n_docs"].astype(np.int64),
+            n_above=b["n_above"].astype(np.int64),
+            mean_chars=b["source"].map(means).round(6),
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def orders_priority_share(sf_dir: str) -> rd.Dataset:
+    """Ratio-to-report window: each priority's share of total revenue.
+    One corpus-scale pass to the per-priority aggregate (5 rows); the
+    total and the shares derive from that aggregate in one in-bucket
+    pass (num_buckets=1 over 5 rows — not a corpus-scale sort).
+    Output: (o_orderpriority, n_orders, revenue, share rounded 6dp)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": np.ones(len(batch), np.int64),
+                "revenue": batch["o_totalprice"],
+            }
+        )
+        return t.groupby("o_orderpriority", sort=False).sum().reset_index()
+
+    partials = orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+    base = grouped_agg(
+        partials,
+        ["o_orderpriority"],
+        {"n_orders": "sum", "revenue": "sum"},
+        num_buckets=2,
+    ).map_batches(lambda b: b.assign(_one=0), batch_format="pandas")
+
+    def share(bucket: pd.DataFrame) -> pd.DataFrame:
+        total = bucket["revenue"].sum()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": bucket["o_orderpriority"],
+                "n_orders": bucket["n_orders"].astype(np.int64),
+                "revenue": bucket["revenue"].round(4),
+                "share": (bucket["revenue"] / total).round(6),
+            }
+        )
+
+    return bucketed_map_groups(base, ["_one"], share, num_buckets=1)
+
+
+def events_dow_hour(sf_dir: str) -> rd.Dataset:
+    """Datetime-function heatmap: event counts + value sums per
+    (day-of-week Mon=0, hour-of-day) — EXTRACT parity with the SQL
+    side (isodow−1 / hour).  Combiner collapses each batch to ≤ 168
+    cells before one tiny grouped sum.  Output: (dow, hour, n_events,
+    sum_value rounded 4dp)."""
+    events = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "dow": batch["ts"].dt.dayofweek.astype(np.int64),
+                "hour": batch["ts"].dt.hour.astype(np.int64),
+                "n_events": np.ones(len(batch), np.int64),
+                "sum_value": batch["value"],
+            }
+        )
+        return t.groupby(["dow", "hour"], sort=False).sum().reset_index()
+
+    partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(
+        partials, ["dow", "hour"], {"n_events": "sum", "sum_value": "sum"}, num_buckets=2
+    )
+    return merged.map_batches(
+        lambda b: b.assign(
+            n_events=b["n_events"].astype(np.int64),
+            sum_value=b["sum_value"].round(4),
+        ),
+        batch_format="pandas",
+    )
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""
