@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_avg": analytics.docs_above_avg,
         "orders_priority_share": analytics.orders_priority_share,
         "events_dow_hour": analytics.events_dow_hour,
+        "user_retention": analytics.user_retention,
+        "user_top_event_type": analytics.user_top_event_type,
+        "heavy_hitters": analytics.heavy_hitters,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1318,6 +1321,37 @@ SELECT CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        round_even(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "user_retention": """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w JOIN c ON w.user_id = c.user_id
+GROUP BY 1, 2
+""",
+        "user_top_event_type": """
+SELECT user_id, top_event_type, n FROM (
+  SELECT user_id, event_type AS top_event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""",
+        "heavy_hitters": """
+WITH t AS (
+  SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents
+),
+n AS (SELECT COUNT(*) AS total FROM t)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM t, n GROUP BY term, n.total
+HAVING COUNT(*) > n.total / 256.0
 """,
         "props_k_stats": """
 WITH x AS (

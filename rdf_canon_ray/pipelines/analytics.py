@@ -889,6 +889,200 @@ def events_dow_hour(sf_dir: str) -> rd.Dataset:
     )
 
 
+def user_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention analysis: users are cohorted by the epoch-week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    distinct users of that cohort active offset weeks later.  One
+    bucketed exchange on user_id (local combiner reduces each batch to
+    distinct (user, week) rows, so the exchange carries user-weeks, not
+    events); each user lives wholly in one bucket, so the in-bucket
+    distinct-user count is exact and the second exchange carries only
+    ≤ weeks² cells.  Output: (cohort_week, week_offset, n_users)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def user_weeks(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        t = pd.DataFrame(
+            {"user_id": batch["user_id"], "week": secs // 604800}
+        )
+        return t.drop_duplicates()
+
+    def cohort_cells(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        cohort = b.groupby("user_id", sort=False)["week"].transform("min")
+        t = pd.DataFrame(
+            {
+                "cohort_week": cohort.to_numpy(np.int64),
+                "week_offset": (b["week"] - cohort).to_numpy(np.int64),
+                "n_users": np.ones(len(b), np.int64),
+            }
+        )
+        return (
+            t.groupby(["cohort_week", "week_offset"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    cells = bucketed_map_groups(
+        events,
+        ["user_id"],
+        cohort_cells,
+        num_buckets=8,
+        local_combine=user_weeks,
+    )
+    merged = grouped_agg(
+        cells,
+        ["cohort_week", "week_offset"],
+        {"n_users": "sum"},
+        num_buckets=2,
+    )
+    return merged.map_batches(
+        lambda b: b.assign(n_users=b["n_users"].astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
+def user_top_event_type(sf_dir: str) -> rd.Dataset:
+    """Grouped MODE (most-frequent value per key): each user's most
+    common event_type, ties broken lexicographically.  The combiner
+    collapses each batch to (user, type) partial counts, so the single
+    exchange carries at most |users|×|types| rows per batch — never the
+    event stream.  Output: (user_id, top_event_type, n)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[["user_id", "event_type"]].copy()
+        t["n"] = np.ones(len(t), np.int64)
+        return (
+            t.groupby(["user_id", "event_type"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        m = m.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = m.groupby("user_id", sort=False).head(1)
+        return top.rename(columns={"event_type": "top_event_type"}).assign(
+            n=lambda d: d["n"].astype(np.int64)
+        )
+
+    return bucketed_map_groups(
+        events,
+        ["user_id"],
+        argmax,
+        num_buckets=8,
+        local_combine=partial,
+    )
+
+
+def heavy_hitters(sf_dir: str, capacity: int = 256) -> rd.Dataset:
+    """Exact heavy hitters via the classic two-pass sketch→verify scheme:
+    pass 1 compresses each batch's term histogram to a Misra-Gries
+    summary of ``capacity`` counters (subtract the (c+1)-th largest
+    count, keep positives) and merges the summaries in one tiny bucket —
+    MG summaries are mergeable with the same N/c error bound (Agarwal et
+    al., "Mergeability of Summaries"), so every term with true frequency
+    > N/c survives as a candidate.  Pass 2 broadcasts the ≤ c candidates
+    and computes their EXACT corpus counts plus the total token count as
+    a combiner-first grouped sum, then filters count > N/c.  The full
+    term table never shuffles in either pass.  Output: (term, n), exact,
+    whitespace tokenizer (parity with ``top_terms``)."""
+    from ..stages.shuffle import bucketed_map_groups
+    from ..util import default_pool
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def mg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split().explode().dropna()
+        vc = toks.value_counts()
+        if len(vc) > capacity:
+            vc = vc - vc.iloc[capacity]
+            vc = vc[vc > 0]
+        out = pd.DataFrame(
+            {
+                "term": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy(np.int64),
+                "is_total": np.zeros(len(vc), np.int8),
+            }
+        )
+        total = pd.DataFrame(
+            {"term": [""], "n": [np.int64(len(toks))], "is_total": [np.int8(1)]}
+        )
+        out = pd.concat([out, total], ignore_index=True)
+        out["_k"] = np.zeros(len(out), np.int8)
+        return out
+
+    def mg_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop(columns=["_k"])
+        total = int(b.loc[b["is_total"] == 1, "n"].sum())
+        vc = (
+            b.loc[b["is_total"] == 0]
+            .groupby("term", sort=False)["n"]
+            .sum()
+            .sort_values(ascending=False)
+        )
+        if len(vc) > capacity:
+            vc = vc - vc.iloc[capacity]
+            vc = vc[vc > 0]
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "total": total}
+        )
+
+    sketch = bucketed_map_groups(
+        docs.map_batches(mg_partial, batch_format="pandas", batch_size=2048),
+        ["_k"],
+        mg_merge,
+        num_buckets=1,
+    ).to_pandas()
+    candidates = set(sketch["term"])
+    total_tokens = int(sketch["total"].iloc[0]) if len(sketch) else 0
+    cand_ref = ray.put(candidates)
+
+    class CandidateCount:
+        def __init__(self, ref):
+            self.cands = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.split().explode().dropna()
+            vc = toks[toks.isin(self.cands)].value_counts()
+            return pd.DataFrame(
+                {
+                    "term": vc.index.to_numpy(dtype=object),
+                    "n": vc.to_numpy(np.int64),
+                }
+            )
+
+    partials = docs.map_batches(
+        CandidateCount,
+        fn_constructor_kwargs={"ref": cand_ref},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=default_pool(cap=8),
+    )
+    exact = grouped_agg(partials, ["term"], {"n": "sum"}, num_buckets=2)
+    threshold = total_tokens / capacity
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["n"] > threshold].copy()
+        out["n"] = out["n"].astype(np.int64)
+        return out[["term", "n"]]
+
+    return exact.map_batches(finish, batch_format="pandas")
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

@@ -982,3 +982,103 @@ def test_value_quantiles_error_bound(ray_session):
             exact = v[int(np.ceil(q * len(v))) - 1]
             est = got.loc[etype, col]
             assert abs(est - exact) / exact < 0.03, (etype, col, est, exact)
+
+
+def test_heavy_hitters_mg_guarantee(ray_session, tmp_path):
+    """Two-pass heavy hitters returns EXACTLY the terms with frequency
+    > N/capacity, with exact counts, on a skewed vocabulary spread over
+    enough rows to force many per-batch MG compressions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    # zipf-ish: head terms dominate
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.3
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=40, p=weights)) for _ in range(4000)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    got = (
+        analytics.heavy_hitters(str(tmp_path), capacity=64)
+        .to_pandas()
+        .set_index("term")["n"]
+        .sort_index()
+    )
+    toks = pd.Series(" ".join(texts).split())
+    exact = toks.value_counts()
+    expect = exact[exact > len(toks) / 64].sort_index()
+    assert list(got.index) == list(expect.index)
+    assert (got.to_numpy() == expect.to_numpy()).all()
+
+
+def test_user_retention_hand_case(ray_session, tmp_path):
+    """Cohort cells match a hand-computed case: two cohorts, one
+    returning user, week arithmetic exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    W = 604800
+    ts = pd.to_datetime(
+        [
+            10 * W + 5,        # u1 cohort week 10
+            11 * W + 12,       # u1 back in week 11 (offset 1)
+            10 * W + 99,       # u2 cohort week 10
+            12 * W + 1,        # u3 cohort week 12
+            12 * W + 2,        # u3 same week again (distinct-user once)
+        ],
+        unit="s",
+    )
+    pq.write_table(
+        pa.table({"user_id": [1, 1, 2, 3, 3], "ts": ts}),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        analytics.user_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "cohort_week": [10, 10, 12],
+            "week_offset": [0, 1, 0],
+            "n_users": [2, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_user_top_event_type_tie_break(ray_session, tmp_path):
+    """Grouped mode breaks count ties lexicographically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": [1, 1, 1, 2, 2, 2, 2],
+                "event_type": ["b", "a", "b", "z", "a", "z", "a"],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        analytics.user_top_event_type(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["top_event_type"]) == ["b", "a"]  # u2: a==z tie → a
+    assert list(got["n"]) == [2, 2]
