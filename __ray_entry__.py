@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": analytics.user_retention,
         "user_top_event_type": analytics.user_top_event_type,
         "heavy_hitters": analytics.heavy_hitters,
+        "monthly_revenue_growth": analytics.monthly_revenue_growth,
+        "top_bigram_pmi": analytics.top_bigram_pmi,
+        "fuzzy_name_pairs": corpus.fuzzy_name_pairs,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1352,6 +1355,50 @@ n AS (SELECT COUNT(*) AS total FROM t)
 SELECT term, CAST(COUNT(*) AS BIGINT) AS n
 FROM t, n GROUP BY term, n.total
 HAVING COUNT(*) > n.total / 256.0
+""",
+        "monthly_revenue_growth": """
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month, round_even(rev, 4) AS revenue,
+       round_even(
+         (rev - LAG(rev) OVER (ORDER BY month))
+           / LAG(rev) OVER (ORDER BY month), 6
+       ) AS growth
+FROM m
+""",
+        "top_bigram_pmi": """
+WITH t AS (
+  SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+u AS (SELECT UNNEST(toks) AS term FROM t),
+uc AS (SELECT term, COUNT(*) AS c FROM u GROUP BY term),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM u),
+b AS (
+  SELECT UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+nb AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM bc)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair,
+       round_even(
+         ln((c12 / nb.n) / ((u1.c / nt.n) * (u2.c / nt.n))), 6
+       ) AS pmi
+FROM bc CROSS JOIN nt CROSS JOIN nb
+JOIN uc u1 ON bc.w1 = u1.term
+JOIN uc u2 ON bc.w2 = u2.term
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
+        "fuzzy_name_pairs": """
+WITH n AS (SELECT DISTINCT c_name FROM customer)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM n a JOIN n b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) = 1
 """,
         "props_k_stats": """
 WITH x AS (

@@ -1083,6 +1083,168 @@ def heavy_hitters(sf_dir: str, capacity: int = 256) -> rd.Dataset:
     return exact.map_batches(finish, batch_format="pandas")
 
 
+def monthly_revenue_growth(sf_dir: str) -> rd.Dataset:
+    """Time-series growth (LAG window on an aggregate): monthly order
+    revenue plus month-over-month pct change.  One corpus-scale pass
+    ends at the per-month aggregate (tens of rows); the ordered shift
+    runs in a single tiny bucket — never a corpus-scale sort.  Output:
+    (month=yyyymm, revenue rounded 4dp, growth rounded 6dp, NULL for
+    the first month)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            batch["o_orderdate"].dt.year * 100 + batch["o_orderdate"].dt.month
+        ).astype(np.int64)
+        t = pd.DataFrame({"month": month, "revenue": batch["o_totalprice"]})
+        return t.groupby("month", sort=False).sum().reset_index()
+
+    partials = orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = grouped_agg(partials, ["month"], {"revenue": "sum"}, num_buckets=2)
+    base = merged.map_batches(
+        lambda b: b.assign(_one=np.zeros(len(b), np.int8)), batch_format="pandas"
+    )
+
+    def growth(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values("month").reset_index(drop=True)
+        prev = b["revenue"].shift(1)
+        return pd.DataFrame(
+            {
+                "month": b["month"].astype(np.int64),
+                "revenue": b["revenue"].round(4),
+                "growth": ((b["revenue"] - prev) / prev).round(6),
+            }
+        )
+
+    return bucketed_map_groups(base, ["_one"], growth, num_buckets=1)
+
+
+def top_bigram_pmi(
+    sf_dir: str, min_count: int = 5, k: int = 50
+) -> rd.Dataset:
+    """Collocation mining: top-k adjacent word pairs by pointwise mutual
+    information, restricted to pairs seen ≥ ``min_count`` times.  Two
+    combiner-first counting exchanges (unigrams; bigrams), then the
+    filtered bigram table joins unigram counts twice via the
+    co-partitioned hash join (no vocab broadcast — the vocabulary is
+    corpus-scale at 100 TB), and the PMI top-k reduces per-bucket before
+    one tiny final merge.  ln/division order mirrors the SQL oracle
+    exactly.  Output: (w1, w2, n_pair, pmi rounded 6dp)."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "cu": vc.to_numpy(np.int64)}
+        )
+
+    uni = grouped_agg(
+        docs.map_batches(uni_partial, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"cu": "sum"},
+        num_buckets=64,
+    )
+
+    def bg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        e = batch["text"].reset_index(drop=True).str.split().explode().dropna()
+        nxt = e.groupby(level=0).shift(-1)
+        m = nxt.notna()
+        t = pd.DataFrame(
+            {
+                "w1": e[m].to_numpy(dtype=object),
+                "w2": nxt[m].to_numpy(dtype=object),
+                "c12": np.ones(int(m.sum()), np.int64),
+            }
+        )
+        return t.groupby(["w1", "w2"], sort=False).sum().reset_index()
+
+    bg = grouped_agg(
+        docs.map_batches(bg_partial, batch_format="pandas", batch_size=2048),
+        ["w1", "w2"],
+        {"c12": "sum"},
+        num_buckets=64,
+    )
+
+    def _scalar_sum(ds: rd.Dataset, col: str) -> float:
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame({"s": [np.int64(b[col].sum())]}),
+            batch_format="pandas",
+            batch_size=65536,
+        ).to_pandas()
+        return float(parts["s"].sum())
+
+    n_tokens = _scalar_sum(uni, "cu")
+    n_bigrams = _scalar_sum(bg, "c12")
+
+    cand = bg.map_batches(
+        lambda b: b.loc[b["c12"] >= min_count], batch_format="pandas"
+    )
+    j1 = hash_join(
+        cand.map_batches(
+            lambda b: b.rename(columns={"w1": "term"}), batch_format="pandas"
+        ),
+        uni,
+        on="term",
+        num_buckets=16,
+    ).map_batches(
+        lambda b: b.rename(columns={"term": "w1", "cu": "c1"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1.map_batches(
+            lambda b: b.rename(columns={"w2": "term"}), batch_format="pandas"
+        ),
+        uni,
+        on="term",
+        num_buckets=16,
+    ).map_batches(
+        lambda b: b.rename(columns={"term": "w2", "cu": "c2"}),
+        batch_format="pandas",
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c12 = batch["c12"].to_numpy(np.float64)
+        c1 = batch["c1"].to_numpy(np.float64)
+        c2 = batch["c2"].to_numpy(np.float64)
+        pmi = np.round(
+            np.log((c12 / n_bigrams) / ((c1 / n_tokens) * (c2 / n_tokens))), 6
+        )
+        return pd.DataFrame(
+            {
+                "w1": batch["w1"].to_numpy(dtype=object),
+                "w2": batch["w2"].to_numpy(dtype=object),
+                "n_pair": batch["c12"].astype(np.int64),
+                "pmi": pmi,
+            }
+        )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+
+    scored = j2.map_batches(score, batch_format="pandas").map_batches(
+        local_topk, batch_format="pandas", batch_size=65536
+    )
+
+    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_k"] = np.zeros(len(batch), np.int8)
+        return out
+
+    return bucketed_map_groups(
+        scored.map_batches(const_key, batch_format="pandas"),
+        ["_k"],
+        lambda b: local_topk(b.drop(columns=["_k"])),
+        num_buckets=1,
+    )
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

@@ -1078,3 +1078,14 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         batch_size=4096,
         concurrency=default_pool(),
     )
+
+
+def fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
+    """Entity-resolution fuzzy match: all customer-name pairs at
+    Levenshtein distance exactly 1 (deletion-neighborhood blocking +
+    exact vectorized verify — ``stages.dedup.ed1_pairs``).  Output:
+    (name_a, name_b), name_a < name_b."""
+    names = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_name"]
+    )
+    return dedup.ed1_pairs(names, "c_name", num_buckets=32)

@@ -915,3 +915,143 @@ def simhash_pairs(
         lambda b: b.drop_duplicates(subset=["id_a", "id_b"]),
         num_buckets=num_buckets,
     )
+
+
+# ----------------------------------------------------- edit-distance-1
+def _del_variants_block(vals: np.ndarray) -> tuple[list, list]:
+    """Deletion-1 neighborhood, vectorized per length group: values are
+    grouped by length, viewed as (n, L) char matrices, and each of the L
+    single-column deletions is taken for the whole group at once (no
+    per-string Python loop)."""
+    keys: list = []
+    owners: list = []
+    lens = np.fromiter((len(x) for x in vals), dtype=np.int64, count=len(vals))
+    for L in np.unique(lens):
+        grp = vals[lens == L]
+        if L == 0:
+            continue
+        if L == 1:
+            keys.extend([""] * len(grp))
+            owners.extend(grp.tolist())
+            continue
+        mat = np.array(grp, dtype=f"U{L}").view("U1").reshape(len(grp), L)
+        for i in range(int(L)):
+            var = (
+                np.ascontiguousarray(np.delete(mat, i, axis=1))
+                .view(f"U{L - 1}")
+                .ravel()
+            )
+            keys.extend(var.tolist())
+            owners.extend(grp.tolist())
+    return keys, owners
+
+
+def _verify_ed1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein==1 verdict for candidate pairs, vectorized per
+    (len_a, len_b) group.  Same length → exactly one substitution;
+    length off by one → the shorter equals the longer with one char
+    deleted (prefix match to the first mismatch, then shifted suffix
+    match)."""
+    la = np.fromiter((len(x) for x in a), dtype=np.int64, count=len(a))
+    lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=len(b))
+    ok = np.zeros(len(a), dtype=bool)
+    for L1, L2 in {(x, y) for x, y in zip(la.tolist(), lb.tolist())}:
+        m = (la == L1) & (lb == L2)
+        if abs(L1 - L2) > 1 or max(L1, L2) == 0:
+            continue
+        ga, gb = a[m], b[m]
+        if L1 == L2:
+            ma = np.array(ga, dtype=f"U{L1}").view("U1").reshape(len(ga), L1)
+            mb = np.array(gb, dtype=f"U{L2}").view("U1").reshape(len(gb), L2)
+            ok[m] = (ma != mb).sum(axis=1) == 1
+        else:
+            lo, hi = (ga, gb) if L1 < L2 else (gb, ga)
+            Ls = min(L1, L2)
+            ms = (
+                np.array(lo, dtype=f"U{max(Ls,1)}").view("U1").reshape(len(lo), max(Ls, 1))
+                if Ls
+                else np.empty((len(lo), 0), dtype="U1")
+            )
+            ml = np.array(hi, dtype=f"U{Ls + 1}").view("U1").reshape(len(hi), Ls + 1)
+            if Ls == 0:
+                ok[m] = True  # "" vs single char
+                continue
+            eq = ms == ml[:, :Ls]
+            all_match = eq.all(axis=1)  # deletion of the last char
+            p = np.argmax(~eq, axis=1)
+            # suffix_all[r, j] = all_{j' >= j} (long[j'+1] == short[j'])
+            shifted = ml[:, 1:] == ms
+            suffix_all = np.minimum.accumulate(shifted[:, ::-1], axis=1)[:, ::-1]
+            ok[m] = all_match | suffix_all[np.arange(len(lo)), p]
+    return ok
+
+
+def ed1_pairs(
+    ds: rd.Dataset,
+    col: str,
+    num_buckets: int = 32,
+    group_cap: int = 1024,
+) -> rd.Dataset:
+    """All unordered pairs of distinct ``col`` values at Levenshtein
+    distance exactly 1, via deletion-neighborhood blocking — the
+    entity-resolution fuzzy-match kernel.  Blocking is COMPLETE for
+    ED ≤ 1: a substitution pair shares the variant with the differing
+    position deleted from both; an indel pair's shorter string is itself
+    a deletion variant of the longer (each value also blocks on itself).
+    Pipeline: distinct values → deletion-key expansion (vectorized per
+    length group) → bucketed per-key pairing (keys with more than
+    ``group_cap`` values are dropped and metrics-reported, never silent)
+    → pair-level distinct → exact vectorized ED==1 verify.  Output:
+    (name_a, name_b) with name_a < name_b."""
+    from .shuffle import distinct
+
+    metrics.ensure()
+    vals = distinct(ds, [col], num_buckets=num_buckets)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[col].to_numpy(dtype=object)
+        keys, owners = _del_variants_block(s)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate(
+                    [s, np.asarray(keys, dtype=object)]
+                ),
+                "val": np.concatenate(
+                    [s, np.asarray(owners, dtype=object)]
+                ),
+            }
+        )
+
+    keyed = vals.map_batches(expand, batch_format="pandas", batch_size=8192)
+
+    def pairs_in_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        sizes = b.groupby("key", sort=False)["val"].transform("size")
+        over = sizes > group_cap
+        if over.any():
+            n_over = b.loc[over, "key"].nunique()
+            metrics.incr("ed1_groups_dropped", int(n_over))
+            b = b.loc[~over]
+        m = b.merge(b, on="key")
+        m = m.loc[m["val_x"] < m["val_y"], ["val_x", "val_y"]]
+        return m.drop_duplicates().rename(
+            columns={"val_x": "name_a", "val_y": "name_b"}
+        )
+
+    cand = bucketed_map_groups(
+        keyed, ["key"], pairs_in_bucket, num_buckets=num_buckets
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        if len(b) == 0:
+            return b
+        keep = _verify_ed1(
+            b["name_a"].to_numpy(dtype=object),
+            b["name_b"].to_numpy(dtype=object),
+        )
+        return b.loc[keep]
+
+    return bucketed_map_groups(
+        cand, ["name_a", "name_b"], verify, num_buckets=num_buckets
+    )

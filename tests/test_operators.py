@@ -1082,3 +1082,123 @@ def test_user_top_event_type_tie_break(ray_session, tmp_path):
     )
     assert list(got["top_event_type"]) == ["b", "a"]  # u2: a==z tie → a
     assert list(got["n"]) == [2, 2]
+
+
+def test_top_bigram_pmi_matches_bruteforce(ray_session, tmp_path):
+    """PMI top-k matches an exact pandas recompute on a corpus with a
+    planted collocation (rare pair always adjacent → top PMI)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    rng = np.random.default_rng(3)
+    common = [f"c{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(common, size=25)) + " neo tokyo"
+        for _ in range(40)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = analytics.top_bigram_pmi(str(tmp_path), min_count=5, k=10).to_pandas()
+
+    toks = [t.split() for t in texts]
+    uni = pd.Series([w for t in toks for w in t]).value_counts()
+    bg = pd.Series(
+        [f"{a}\x00{b}" for t in toks for a, b in zip(t[:-1], t[1:])]
+    ).value_counts()
+    N, B = uni.sum(), bg.sum()
+    rows = []
+    for key, c12 in bg.items():
+        if c12 < 5:
+            continue
+        w1, w2 = key.split("\x00")
+        pmi = np.log((c12 / B) / ((uni[w1] / N) * (uni[w2] / N)))
+        rows.append((w1, w2, int(c12), round(float(pmi), 6)))
+    exp = (
+        pd.DataFrame(rows, columns=["w1", "w2", "n_pair", "pmi"])
+        .sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+    assert (got.iloc[0]["w1"], got.iloc[0]["w2"]) == ("neo", "tokyo")
+
+
+def test_monthly_revenue_growth_hand_case(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    dates = pd.to_datetime(
+        ["2024-01-05", "2024-01-20", "2024-02-10", "2024-04-01"]
+    )
+    pq.write_table(
+        pa.table({"o_orderdate": dates, "o_totalprice": [100.0, 50.0, 300.0, 75.0]}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = (
+        analytics.monthly_revenue_growth(str(tmp_path))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert list(got["month"]) == [202401, 202402, 202404]
+    assert list(got["revenue"]) == [150.0, 300.0, 75.0]
+    assert np.isnan(got["growth"].iloc[0])
+    assert got["growth"].iloc[1] == 1.0
+    assert got["growth"].iloc[2] == -0.75
+
+
+def test_ed1_pairs_substitution_indel_and_cap(ray_session):
+    """Deletion-neighborhood blocking finds exactly the ED==1 pairs,
+    including insert/delete pairs of differing length; oversized key
+    groups are dropped with a metrics count, not silently."""
+    import itertools
+
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import ed1_pairs
+    from rdf_canon_ray.state import metrics
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = [
+        "alpha", "alpho", "alphaa", "alph", "beta", "betas", "bet",
+        "gamma", "gama", "x", "", "xy", "delta",
+    ]
+    df = pd.DataFrame({"name": names})
+    got = ed1_pairs(rd.from_pandas(df), "name", num_buckets=4).to_pandas()
+    got_pairs = set(zip(got["name_a"], got["name_b"]))
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev(a, b) == 1
+    }
+    assert got_pairs == expect
+    assert ("alph", "alpha") in got_pairs and ("", "x") in got_pairs
+
+    # group cap: 40 names all sharing a deletion key -> dropped + counted
+    metrics.ensure()
+    base = metrics.read().get("ed1_groups_dropped", 0)
+    many = pd.DataFrame({"name": [f"q{i:02d}" for i in range(40)]})
+    out = ed1_pairs(
+        rd.from_pandas(many), "name", num_buckets=2, group_cap=8
+    ).to_pandas()
+    assert metrics.read().get("ed1_groups_dropped", 0) > base
