@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_comention_edges": lambda sf: graph.comention_edges(sf),
         "kg_pagerank": lambda sf: graph.pagerank(sf),
+        "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
         "kg_triangles": lambda sf: graph.triangle_counts(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
@@ -165,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": analytics.monthly_revenue_growth,
         "top_bigram_pmi": analytics.top_bigram_pmi,
         "fuzzy_name_pairs": corpus.fuzzy_name_pairs,
+        "customers_no_urgent_orders": analytics.customers_no_urgent_orders,
+        "events_value_percentile": analytics.events_value_percentile,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1076,6 +1079,26 @@ WITH {part_resolved},
 {mention_m}
 SELECT e1, e2 FROM ed
 """,
+        "kg_bfs_depths": f"""
+WITH RECURSIVE {part_resolved},
+{mention_m},
+edges AS (
+  SELECT e1 AS src, e2 AS dst FROM ed
+  UNION ALL
+  SELECT e2, e1 FROM ed
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+bfs(node, depth) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 4
+)
+SELECT node AS entity_iri, CAST(MIN(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY node
+""",
         "kg_pagerank": f"""
 WITH {part_resolved},
 {mention_m},
@@ -1399,6 +1422,22 @@ WITH n AS (SELECT DISTINCT c_name FROM customer)
 SELECT a.c_name AS name_a, b.c_name AS name_b
 FROM n a JOIN n b ON a.c_name < b.c_name
 WHERE levenshtein(a.c_name, b.c_name) = 1
+""",
+        "customers_no_urgent_orders": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+        "events_value_percentile": """
+SELECT event_id, event_type, value,
+       round_even(
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6
+       ) AS pct_rank
+FROM events
 """,
         "props_k_stats": """
 WITH x AS (

@@ -1245,6 +1245,69 @@ def top_bigram_pmi(
     )
 
 
+def customers_no_urgent_orders(sf_dir: str) -> rd.Dataset:
+    """NOT EXISTS / anti-semi-join at table scale: customers that never
+    placed a 1-URGENT order.  Both sides co-partition by key hash
+    (``partitioned_anti_join``) — the predicate pushes to the right
+    side's read and the keys pre-dedup per batch, so the exchange
+    carries filtered key cardinality, and no driver-side key set exists
+    at any point.  Output: (c_custkey, c_name, c_nationkey)."""
+    from ..stages.joins import partitioned_anti_join
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    okeys = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.loc[
+            b["o_orderpriority"] == "1-URGENT", ["o_custkey"]
+        ].rename(columns={"o_custkey": "c_custkey"}).drop_duplicates(),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    out = partitioned_anti_join(cust, okeys, on="c_custkey", num_buckets=16)
+    # the anti-join's internal side-union NaN-pads non-key ints to float
+    return out.map_batches(
+        lambda b: b.assign(
+            c_custkey=b["c_custkey"].astype(np.int64),
+            c_nationkey=b["c_nationkey"].astype(np.int64),
+        ),
+        batch_format="pandas",
+    )
+
+
+def events_value_percentile(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK window at corpus scale: each event's percentile of
+    ``value`` within its event_type (rank ties share a rank, single-row
+    partitions get 0, matching SQL).  Partition-co-located bucketing —
+    one exchange keyed on event_type; the rank math is vectorized
+    in-bucket.  Output: (event_id, event_type, value, pct_rank 6dp)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prank(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False)["value"]
+        r = g.rank(method="min")
+        n = g.transform("size")
+        pct = np.where(
+            n.to_numpy() > 1,
+            (r.to_numpy() - 1.0) / (n.to_numpy() - 1.0),
+            0.0,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": bucket["event_id"],
+                "event_type": bucket["event_type"],
+                "value": bucket["value"],
+                "pct_rank": np.round(pct, 6),
+            }
+        )
+
+    return bucketed_map_groups(events, ["event_type"], prank, num_buckets=8)
+
+
 def events_prev(sf_dir: str) -> rd.Dataset:
     """As-of/previous-row operator: for each event, the previous event id
     of the same user in time order (bucketed per-user ordered shift)."""

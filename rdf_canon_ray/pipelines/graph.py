@@ -194,6 +194,77 @@ def _pagerank_broadcast(
     )
 
 
+def bfs_depths(
+    sf_dir: str,
+    max_depth: int = 4,
+    broadcast_threshold: int = 500_000,
+    max_conv_entities: Optional[int] = None,
+) -> rd.Dataset:
+    """Single-source BFS levels over the co-mention graph (the iterative
+    traversal family: reachability / shortest hops).  Seed = the
+    max-degree entity (ties → lexicographically smallest).  Uses the
+    same resident-graph pattern as ``_pagerank_broadcast``: the
+    adjacency packs ONCE, then each of the ``max_depth`` rounds is a
+    MAP-ONLY min-plus relaxation (new_depth(v) = min(depth(v),
+    1 + min depth over in-neighbors)) with the node-scale depth vector
+    broadcast via ``ray.put`` — zero per-iteration shuffle.  The vector
+    is gated by ``broadcast_threshold`` exactly like PageRank's ranks.
+    Converges level-by-level, so round r finalizes every node at BFS
+    distance ≤ r.  Output: (entity_iri, depth ≤ max_depth) for reached
+    nodes only; the oracle replays it as a bounded recursive CTE."""
+    adj = _packed_adjacency(sf_dir, max_conv_entities).materialize()
+    deg_df = adj.select_columns(["node", "deg"]).to_pandas()
+    if len(deg_df) > broadcast_threshold:
+        raise NotImplementedError(
+            "bfs_depths requires the depth vector to fit the broadcast "
+            "gate; partition the graph or raise the threshold"
+        )
+    sd = deg_df.sort_values(
+        ["deg", "node"], ascending=[False, True], kind="mergesort"
+    )
+    seed = sd["node"].iloc[0]
+    nodes = deg_df["node"].to_numpy()
+    depth = pd.Series(
+        np.where(nodes == seed, 0.0, np.inf), index=nodes
+    )
+
+    for _ in range(max_depth):
+        dref = ray.put(depth)
+
+        def step(batch: pd.DataFrame) -> pd.DataFrame:
+            d: pd.Series = ray.get(dref)
+            lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in batch["srcs"]]
+            )
+            w = d.reindex(flat).to_numpy()
+            offsets = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(w, offsets)
+            cur = d.reindex(batch["node"].to_numpy()).to_numpy()
+            return pd.DataFrame(
+                {"node": batch["node"], "d": np.minimum(cur, mins + 1.0)}
+            )
+
+        out = adj.map_batches(
+            step, batch_format="pandas", batch_size=8192
+        ).to_pandas()
+        new = pd.Series(out["d"].to_numpy(), index=out["node"].to_numpy())
+        if new.reindex(depth.index).equals(depth):
+            break  # frontier exhausted before max_depth
+        depth = new
+
+    fin = depth[np.isfinite(depth.to_numpy())]
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "entity_iri": fin.index.to_numpy(),
+                "depth": fin.to_numpy().astype(np.int64),
+            }
+        )
+    )
+
+
 def triangle_counts(
     sf_dir: str,
     broadcast_threshold: int = 2_000_000,

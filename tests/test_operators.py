@@ -1202,3 +1202,61 @@ def test_ed1_pairs_substitution_indel_and_cap(ray_session):
         rd.from_pandas(many), "name", num_buckets=2, group_cap=8
     ).to_pandas()
     assert metrics.read().get("ed1_groups_dropped", 0) > base
+
+
+def test_bfs_depths_matches_pandas_bfs(ray_session):
+    """Resident-graph BFS levels equal a driver-side BFS recompute from
+    the co-mention edge list (sf0.001), including the early-exit path."""
+    from collections import deque
+
+    from rdf_canon_ray.pipelines import graph
+
+    edges = graph.comention_edges(SF).to_pandas()
+    adj: dict = {}
+    for a, b in zip(edges["e1"], edges["e2"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    seed = sorted(deg, key=lambda n: (-deg[n], n))[0]
+    depth = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if depth[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    got = graph.bfs_depths(SF).to_pandas()
+    got_map = dict(zip(got["entity_iri"], got["depth"]))
+    assert got_map == depth
+
+
+def test_events_value_percentile_ties_and_singletons(ray_session, tmp_path):
+    """PERCENT_RANK semantics: ties share a rank, single-row partitions
+    get 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "event_type": ["a", "a", "a", "a", "b", "a"],
+                "value": [1.0, 2.0, 2.0, 3.0, 9.9, 0.5],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        analytics.events_value_percentile(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")["pct_rank"]
+    )
+    assert got[6] == 0.0 and got[1] == 0.25
+    assert got[2] == got[3] == 0.5  # tie -> shared min rank
+    assert got[4] == 1.0
+    assert got[5] == 0.0  # singleton partition
