@@ -150,45 +150,83 @@ def pagerank(
     return _pagerank_partitioned(sf_dir, iterations, max_conv_entities)
 
 
+def _encoded_adjacency(
+    adj: rd.Dataset, deg_df: pd.DataFrame
+) -> tuple[rd.Dataset, np.ndarray, np.ndarray]:
+    """Dictionary-encode the packed adjacency ONCE: nodes → dense int32
+    codes (one broadcast of the node→code map), so every subsequent
+    iteration gathers with plain numpy fancy indexing instead of
+    hash-probing ~2|E| object strings per round (the dominant cost of
+    the string-keyed step — same trick as ``triangle_counts``).
+    Returns (encoded adjacency with (code, srcs int32 list), nodes
+    array in code order, degree array in code order)."""
+    nodes = deg_df["node"].to_numpy()
+    deg = deg_df["deg"].to_numpy().astype(np.float64)
+    code_s = pd.Series(np.arange(len(nodes), dtype=np.int64), index=nodes)
+    code_ref = ray.put(code_s)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        s: pd.Series = ray.get(code_ref)
+        lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in batch["srcs"]]
+        )
+        codes = s.reindex(flat).to_numpy().astype(np.int32)
+        splits = np.split(codes, np.cumsum(lens)[:-1])
+        return pd.DataFrame(
+            {
+                "code": s.reindex(batch["node"].to_numpy()).to_numpy(np.int64),
+                "srcs": splits,
+            }
+        )
+
+    enc = adj.map_batches(
+        encode, batch_format="pandas", batch_size=8192
+    ).materialize()
+    return enc, nodes, deg
+
+
 def _pagerank_broadcast(
     adj: rd.Dataset, deg_df: pd.DataFrame, iterations: int
 ) -> rd.Dataset:
-    """Map-only iterations over the resident packed adjacency."""
-    nodes = deg_df["node"].to_numpy()
-    deg = deg_df["deg"].to_numpy().astype(np.float64)
-    ranks = pd.Series(np.ones(len(nodes), np.float64), index=nodes)
+    """Map-only iterations over the resident packed adjacency (int-coded
+    once; per-round work is numpy gather + segment sum)."""
+    enc, nodes, deg = _encoded_adjacency(adj, deg_df)
+    ranks = np.ones(len(nodes), np.float64)
 
     for _ in range(iterations):
         # contribution each node sends along every out-edge
-        sends = ray.put(ranks / pd.Series(deg, index=nodes))
+        sends = ray.put(ranks / deg)
 
         def step(batch: pd.DataFrame) -> pd.DataFrame:
-            s: pd.Series = ray.get(sends)
+            v: np.ndarray = ray.get(sends)
             lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
             flat = np.concatenate(
-                [np.asarray(x, dtype=object) for x in batch["srcs"]]
+                [np.asarray(x, dtype=np.int32) for x in batch["srcs"]]
             )
-            w = s.reindex(flat).to_numpy()
+            w = v[flat]
             offsets = np.zeros(len(lens), np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
             sums = np.add.reduceat(w, offsets)
             return pd.DataFrame(
                 {
-                    "node": batch["node"],
+                    "code": batch["code"],
                     "r": TELEPORT + DAMPING * sums,
                 }
             )
 
-        out = adj.map_batches(
+        out = enc.map_batches(
             step, batch_format="pandas", batch_size=8192
         ).to_pandas()
-        ranks = pd.Series(out["r"].to_numpy(), index=out["node"].to_numpy())
+        nxt = np.empty(len(nodes), np.float64)
+        nxt[out["code"].to_numpy()] = out["r"].to_numpy()
+        ranks = nxt
 
     return rd.from_pandas(
         pd.DataFrame(
             {
-                "entity_iri": ranks.index.to_numpy(),
-                "rank": np.round(ranks.to_numpy(), 6),
+                "entity_iri": nodes,
+                "rank": np.round(ranks, 6),
             }
         )
     )
@@ -223,43 +261,42 @@ def bfs_depths(
         ["deg", "node"], ascending=[False, True], kind="mergesort"
     )
     seed = sd["node"].iloc[0]
-    nodes = deg_df["node"].to_numpy()
-    depth = pd.Series(
-        np.where(nodes == seed, 0.0, np.inf), index=nodes
-    )
+    enc, nodes, _deg = _encoded_adjacency(adj, deg_df)
+    depth = np.where(nodes == seed, 0.0, np.inf)
 
     for _ in range(max_depth):
         dref = ray.put(depth)
 
         def step(batch: pd.DataFrame) -> pd.DataFrame:
-            d: pd.Series = ray.get(dref)
+            d: np.ndarray = ray.get(dref)
             lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
             flat = np.concatenate(
-                [np.asarray(x, dtype=object) for x in batch["srcs"]]
+                [np.asarray(x, dtype=np.int32) for x in batch["srcs"]]
             )
-            w = d.reindex(flat).to_numpy()
+            w = d[flat]
             offsets = np.zeros(len(lens), np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
             mins = np.minimum.reduceat(w, offsets)
-            cur = d.reindex(batch["node"].to_numpy()).to_numpy()
+            codes = batch["code"].to_numpy()
             return pd.DataFrame(
-                {"node": batch["node"], "d": np.minimum(cur, mins + 1.0)}
+                {"code": codes, "d": np.minimum(d[codes], mins + 1.0)}
             )
 
-        out = adj.map_batches(
+        out = enc.map_batches(
             step, batch_format="pandas", batch_size=8192
         ).to_pandas()
-        new = pd.Series(out["d"].to_numpy(), index=out["node"].to_numpy())
-        if new.reindex(depth.index).equals(depth):
+        new = depth.copy()
+        new[out["code"].to_numpy()] = out["d"].to_numpy()
+        if np.array_equal(new, depth):
             break  # frontier exhausted before max_depth
         depth = new
 
-    fin = depth[np.isfinite(depth.to_numpy())]
+    m = np.isfinite(depth)
     return rd.from_pandas(
         pd.DataFrame(
             {
-                "entity_iri": fin.index.to_numpy(),
-                "depth": fin.to_numpy().astype(np.int64),
+                "entity_iri": nodes[m],
+                "depth": depth[m].astype(np.int64),
             }
         )
     )
