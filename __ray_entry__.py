@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": corpus.fuzzy_name_pairs,
         "customers_no_urgent_orders": analytics.customers_no_urgent_orders,
         "events_value_percentile": analytics.events_value_percentile,
+        "search_topk": analytics.search_topk,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -193,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
         "dedup_embedding_pairs": corpus.embedding_near_dups,
         "dedup_clean": corpus.dedup_clean,
+        "curate_corpus": corpus.curate_corpus,
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
@@ -928,6 +930,65 @@ WITH RECURSIVE d AS (
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
 """
+    extra["curate_corpus"] = f"""
+WITH RECURSIVE kq AS (
+  SELECT doc_id FROM ({extra["quality_scores"]}) t WHERE quality >= 0.5
+),
+w8 AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+sh8 AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(w) = 0 THEN []
+              WHEN LENGTH(w) < 8 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, LENGTH(w) - 7),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+                          || w[i + 3] || ' ' || w[i + 4] || ' ' || w[i + 5]
+                          || ' ' || w[i + 6] || ' ' || w[i + 7]))
+         END AS sh
+  FROM w8
+),
+bench AS (
+  SELECT LIST(g) AS gs FROM (
+    SELECT DISTINCT UNNEST(sh) AS g FROM sh8
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)
+  )
+),
+dc AS (
+  SELECT s.doc_id FROM sh8 s JOIN kq ON s.doc_id = kq.doc_id CROSS JOIN bench
+  WHERE LENGTH(list_intersect(s.sh, gs)) = 0
+),
+d3 AS (
+  SELECT d.doc_id, d.text, regexp_extract_all(d.text, '\\S+') AS w
+  FROM documents d JOIN dc ON d.doc_id = dc.doc_id
+),
+s3 AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(w) < 3 THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, LENGTH(w) - 2),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         END AS sh
+  FROM d3
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
+  WHERE CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (LENGTH(a.sh) + LENGTH(b.sh)
+             - LENGTH(list_intersect(a.sh, b.sh))) >= 0.5
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+),
+rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u)
+SELECT dc.doc_id FROM dc
+WHERE dc.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
     extra["label_centroids"] = """
 SELECT CAST(label AS BIGINT) AS label, CAST(d.i AS BIGINT) AS dim,
        round_even(SUM(CAST(embedding[d.i] AS DOUBLE)) / COUNT(*), 6) AS centroid
@@ -1438,6 +1499,28 @@ SELECT event_id, event_type, value,
          PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6
        ) AS pct_rank
 FROM events
+""",
+        "search_topk": """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+p AS (SELECT DISTINCT doc_id, UNNEST(toks) AS term FROM d),
+dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 3),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+tf AS (
+  SELECT u.doc_id, u.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS term FROM d) u
+  JOIN q ON u.term = q.term
+  GROUP BY u.doc_id, u.term
+),
+s AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln(n.nd / q.df)) AS score
+  FROM tf JOIN q ON tf.term = q.term CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round_even(score, 6) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10
 """,
         "props_k_stats": """
 WITH x AS (

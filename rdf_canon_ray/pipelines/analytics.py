@@ -1813,6 +1813,115 @@ def inverted_index(sf_dir: str, max_postings: int = 10000) -> rd.Dataset:
     return bucketed_map_groups(pairs, ["term"], build, num_buckets=32)
 
 
+def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
+    """Retrieval query over the corpus: score every document against a
+    query by TF-IDF (score = Σ_t tf(t,d)·ln(N/df(t))) and return the
+    top-k.  The query here is the ``n_query_terms`` highest-df terms
+    (deterministic, derivable in SQL).  Scale shape: the document
+    frequencies reduce through a combiner-first exchange with per-bucket
+    top-k pruning (never the vocabulary to the driver beyond the query
+    terms); the query's (term → idf) map broadcasts; scoring is a
+    MAP-ONLY pass (a document's tokens live in its own row); the final
+    top-k merges ≤ k rows per batch in one tiny bucket.  Output:
+    (doc_id, score rounded 6dp)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = batch.set_index("doc_id")["text"].str.split().explode()
+        t = pairs.reset_index()
+        t.columns = ["doc_id", "term"]
+        t = t.drop_duplicates()
+        vc = t["term"].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "df": vc.to_numpy(np.int64)}
+        )
+
+    # batch-level partials are upper bounds per batch; exact df needs the
+    # distinct (doc, term) exchange — but a doc lives wholly in one batch
+    # row, so per-batch distinct-doc counts ARE exact partials.
+    dfs = grouped_agg(
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"df": "sum"},
+        num_buckets=32,
+    )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(n_query_terms)
+
+    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_k"] = np.zeros(len(batch), np.int8)
+        return out
+
+    qterms = bucketed_map_groups(
+        dfs.map_batches(local_top, batch_format="pandas").map_batches(
+            const_key, batch_format="pandas"
+        ),
+        ["_k"],
+        lambda b: local_top(b.drop(columns=["_k"])),
+        num_buckets=1,
+    ).to_pandas()
+    idf = {
+        t: np.log(n_docs / d) for t, d in zip(qterms["term"], qterms["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    class Scorer:
+        def __init__(self, ref):
+            self.idf = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch.set_index("doc_id")["text"].str.split().explode()
+            hit = toks[toks.isin(self.idf)]
+            if len(hit) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+                        "score": pd.Series([], dtype=np.float64),
+                    }
+                )
+            g = hit.reset_index()
+            g.columns = ["doc_id", "term"]
+            c = g.groupby(["doc_id", "term"], sort=False).size().reset_index(
+                name="tf"
+            )
+            c["w"] = c["tf"].to_numpy(np.float64) * c["term"].map(self.idf)
+            s = c.groupby("doc_id", sort=False)["w"].sum().reset_index()
+            s["w"] = np.round(s["w"].to_numpy(np.float64), 6)
+            s = s.rename(columns={"w": "score"})
+            return s.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+
+    from ..util import default_pool
+
+    scored = docs.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"ref": idf_ref},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=default_pool(cap=8),
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop(columns=["_k"]).sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return bucketed_map_groups(
+        scored.map_batches(const_key, batch_format="pandas"),
+        ["_k"],
+        final,
+        num_buckets=1,
+    )
+
+
 def _source_term_pairs(sf_dir: str, batch_size: int = 2048) -> rd.Dataset:
     """Batch-deduped (source, term) pairs from documents.text."""
     docs = _read(sf_dir, "documents", columns=["source", "text"])

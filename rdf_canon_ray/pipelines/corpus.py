@@ -1089,3 +1089,102 @@ def fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "customer.parquet"), columns=["c_name"]
     )
     return dedup.ed1_pairs(names, "c_name", num_buckets=32)
+
+
+class _Curator:
+    """Fused map-only curation gate: quality ≥ threshold AND not
+    benchmark-contaminated, in ONE pass (two broadcast-state stages
+    fused into a single actor so the corpus is read once); passes
+    (doc_id, text) through for the downstream near-dup clean."""
+
+    def __init__(self, bench_ref, n: int = 8, quality_threshold: float = 0.5):
+        self.q = text.QualityScore()
+        self.d = text.Decontaminate(bench_ref, n=n)
+        self.thr = quality_threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        q = self.q(batch)["quality"].to_numpy()
+        c = self.d(batch)["contaminated"].to_numpy()
+        keep = (q >= self.thr) & (~c)
+        return batch.loc[keep, ["doc_id", "text"]]
+
+
+def curate_corpus(
+    sf_dir: str,
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    n: int = 8,
+    bench_docs: int = 10,
+    broadcast_max: int = 1_000_000,
+) -> rd.Dataset:
+    """End-to-end training-data curation — the flagship composition a
+    corpus pipeline runs before tokenization:
+
+      1. quality gate (``QualityScore`` ≥ threshold) — map-only;
+      2. benchmark decontamination (shared word-8-gram vs the
+         ``bench_docs`` lowest-id documents of the ORIGINAL corpus,
+         broadcast shingle set) — fused into the same map pass;
+      3. near-dup clean: word-3-gram Jaccard ≥ threshold pairs
+         (MinHash-LSH + exact verify) → min-label connected components
+         → keep each cluster's min-id representative.  Exact duplicates
+         have Jaccard 1, so a separate exact-dedup pass is subsumed.
+
+    The filter pass is stateless and recomputed per consumer rather
+    than materialized (the curated set is corpus-scale at 100 TB); the
+    drop-set applies via the same gated broadcast / partitioned
+    anti-join as ``dedup_clean``.  Output: (doc_id) of the curated
+    corpus."""
+    import ray
+
+    from ..stages.dedup import dup_groups_from_pairs, minhash_lsh_pairs
+    from ..stages.joins import anti_join_filter, partitioned_anti_join
+    from ..util import default_buckets
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = sorted(
+        zip(bench_tbl["doc_id"].to_pylist(), bench_tbl["text"].to_pylist())
+    )[:bench_docs]
+    shingles: set = set()
+    for _, t in order:
+        shingles |= text.Decontaminate.shingles(t, n)
+    bench_ref = ray.put(frozenset(shingles))
+
+    def filtered() -> rd.Dataset:
+        return _docs(sf_dir).map_batches(
+            _Curator,
+            fn_constructor_kwargs={
+                "bench_ref": bench_ref,
+                "n": n,
+                "quality_threshold": quality_threshold,
+            },
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=default_pool(),
+        )
+
+    pairs = minhash_lsh_pairs(
+        filtered(),
+        shingle_k=3,
+        shingle_mode="word",
+        threshold=jaccard_threshold,
+        num_buckets=default_buckets(),
+    )
+    groups = dup_groups_from_pairs(pairs)
+    drop_ds = groups.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b.loc[b["doc_id"] != b["rep_id"], "doc_id"].to_numpy()}
+        ),
+        batch_format="pandas",
+        batch_size=32768,
+    ).materialize()
+    ids = filtered().map_batches(
+        lambda b: b[["doc_id"]], batch_format="pandas", batch_size=32768
+    )
+    if drop_ds.count() <= broadcast_max:
+        drop_ref = ray.put(set(drop_ds.to_pandas()["doc_id"].tolist()))
+        return anti_join_filter(ids, "doc_id", drop_ref)
+    return partitioned_anti_join(
+        ids, drop_ds, on="doc_id", num_buckets=default_buckets()
+    )

@@ -1260,3 +1260,105 @@ def test_events_value_percentile_ties_and_singletons(ray_session, tmp_path):
     assert got[2] == got[3] == 0.5  # tie -> shared min rank
     assert got[4] == 1.0
     assert got[5] == 0.0  # singleton partition
+
+
+def test_search_topk_matches_bruteforce(ray_session, tmp_path):
+    """TF-IDF retrieval equals an exact pandas recompute, including
+    query-term selection by top document frequency."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_canon_ray.pipelines import analytics
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(300)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(300)), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = analytics.search_topk(str(tmp_path)).to_pandas().reset_index(drop=True)
+
+    toks = [t.split() for t in texts]
+    df = pd.Series([w for t in toks for w in set(t)]).value_counts()
+    q = df.reset_index()
+    q.columns = ["term", "df"]
+    q = q.sort_values(["df", "term"], ascending=[False, True]).head(3)
+    idf = {t: np.log(300.0 / d) for t, d in zip(q["term"], q["df"])}
+    scores = {}
+    for i, t in enumerate(toks):
+        s = sum(
+            np.float64(sum(1 for w in t if w == term)) * widf
+            for term, widf in idf.items()
+            if term in t
+        )
+        if s:
+            scores[i] = round(float(s), 6)
+    exp = (
+        pd.DataFrame(
+            {"doc_id": list(scores), "score": list(scores.values())}
+        )
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_curate_corpus_matches_bruteforce(ray_session, docs_df):
+    """Flagship curation chain equals a driver-side recompute: quality
+    gate, benchmark decontamination, then min-id per 3-gram-Jaccard
+    connected component."""
+    import itertools
+
+    from rdf_canon_ray.pipelines import corpus
+    from rdf_canon_ray.stages import text as tx
+
+    got = set(corpus.curate_corpus(SF).to_pandas()["doc_id"])
+
+    # quality gate (same rounded score the stage computes)
+    q = tx.QualityScore()(docs_df[["doc_id", "text"]])
+    keep_q = set(q.loc[q["quality"] >= 0.5, "doc_id"])
+
+    # decontamination vs the 10 lowest-id docs of the ORIGINAL corpus
+    bench_rows = docs_df.sort_values("doc_id").head(10)
+    bench: set = set()
+    for t in bench_rows["text"]:
+        bench |= tx.Decontaminate.shingles(t, 8)
+    texts = dict(zip(docs_df["doc_id"], docs_df["text"]))
+    eligible = sorted(
+        d for d in keep_q
+        if tx.Decontaminate.shingles(texts[d], 8).isdisjoint(bench)
+    )
+
+    def sh3(t):
+        w = t.split()
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {d: sh3(texts[d]) for d in eligible}
+    parent = {d: d for d in eligible}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(eligible, 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for d in eligible:
+        comps.setdefault(find(d), []).append(d)
+    expect = {min(v) for v in comps.values()} | {
+        d for v in comps.values() if len(v) == 1 for d in v
+    }
+    assert got == expect
