@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantized": corpus.embed_quantized,
         "label_centroids": corpus.label_centroids,
         "embed_zscore": corpus.embedding_zscore_checksums,
+        "embed_covariance": corpus.embed_covariance,
         # multimodal plumbing family
         "media_features": corpus.media_feature_table,
         "media_feature_sums": corpus.media_feature_sums,
@@ -1015,6 +1016,27 @@ SELECT e.vec_id,
          AS zsum
 FROM embeddings e CROSS JOIN stats s
 GROUP BY e.vec_id
+"""
+    extra["embed_covariance"] = """
+WITH ij AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range(1, 65)) AS i) a
+  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) b
+  WHERE a.i <= b.j
+),
+s AS (
+  SELECT ij.i, ij.j,
+         SUM(CAST(embedding[ij.i] AS DOUBLE)
+             * CAST(embedding[ij.j] AS DOUBLE)) AS sxy,
+         SUM(CAST(embedding[ij.i] AS DOUBLE)) AS sx,
+         SUM(CAST(embedding[ij.j] AS DOUBLE)) AS sy,
+         COUNT(*) AS n
+  FROM embeddings CROSS JOIN ij
+  GROUP BY ij.i, ij.j
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       round_even((sxy - sx * sy / n) / n, 6) AS cov
+FROM s
 """
     extra["embed_quantized"] = """
 WITH e AS (

@@ -1188,3 +1188,53 @@ def curate_corpus(
     return partitioned_anti_join(
         ids, drop_ds, on="doc_id", num_buckets=default_buckets()
     )
+
+
+def embed_covariance(sf_dir: str) -> rd.Dataset:
+    """Embedding covariance matrix (upper triangle) via mergeable second
+    moments — the fit step of whitening / PCA preprocessing.  Each batch
+    contributes one dense X'X partial (a numpy matmul) flattened to
+    (i, j, Σxᵢxⱼ, Σxᵢ, Σxⱼ, n) triangle rows; a tiny grouped sum merges
+    the d²/2-cell partials and the closed form (Σxy − ΣxΣy/n)/n finishes
+    map-only.  The corpus never shuffles — only d²/2 × n_batches partial
+    rows do.  Output: (i, j, cov rounded 6dp), 1-based dims, i ≤ j."""
+    from ..stages.shuffle import grouped_agg
+
+    emb = _embeddings(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        g = X.T @ X
+        cs = X.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": (iu + 1).astype(np.int64),
+                "j": (ju + 1).astype(np.int64),
+                "sxy": g[iu, ju],
+                "sx": cs[iu],
+                "sy": cs[ju],
+                "n": np.full(len(iu), len(batch), np.int64),
+            }
+        )
+
+    merged = grouped_agg(
+        emb.map_batches(partial, batch_format="pandas", batch_size=4096),
+        ["i", "j"],
+        {"sxy": "sum", "sx": "sum", "sy": "sum", "n": "sum"},
+        num_buckets=4,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        cov = (b["sxy"].to_numpy() - b["sx"].to_numpy() * b["sy"].to_numpy() / n) / n
+        return pd.DataFrame(
+            {
+                "i": b["i"].astype(np.int64),
+                "j": b["j"].astype(np.int64),
+                "cov": np.round(cov, 6),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -1362,3 +1362,18 @@ def test_curate_corpus_matches_bruteforce(ray_session, docs_df):
         d for v in comps.values() if len(v) == 1 for d in v
     }
     assert got == expect
+
+
+def test_embed_covariance_matches_numpy(ray_session):
+    """Mergeable-moment covariance equals np.cov (ddof=0) on the full
+    matrix."""
+    from rdf_canon_ray.pipelines import corpus
+
+    got = corpus.embed_covariance(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    for i, j, cov in zip(got["i"], got["j"], got["cov"]):
+        assert abs(cov - C[i - 1, j - 1]) < 1e-6, (i, j)
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
