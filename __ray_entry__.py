@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comention_edges": lambda sf: graph.comention_edges(sf),
         "kg_pagerank": lambda sf: graph.pagerank(sf),
         "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
+        "conv_stats": kg.conv_stats,
         "kg_triangles": lambda sf: graph.triangle_counts(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": analytics.customers_no_urgent_orders,
         "events_value_percentile": analytics.events_value_percentile,
         "search_topk": analytics.search_topk,
+        "events_cube": analytics.events_cube,
+        "events_value_mad": analytics.events_value_mad,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
         "events_sessions": analytics.events_sessions,
@@ -1162,6 +1165,16 @@ WITH {part_resolved},
 {mention_m}
 SELECT e1, e2 FROM ed
 """,
+        "conv_stats": """
+SELECT 'conv-' || o_orderkey AS conv_id,
+       CAST(2 + COALESCE(l.cnt, 0) AS BIGINT) AS n_turns,
+       CAST(COALESCE(l.cnt, 0) AS BIGINT) AS n_tool_turns,
+       CAST(CASE WHEN COALESCE(l.cnt, 0) > 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_roles
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+) l ON o.o_orderkey = l.l_orderkey
+""",
         "kg_bfs_depths": f"""
 WITH RECURSIVE {part_resolved},
 {mention_m},
@@ -1543,6 +1556,29 @@ s AS (
 )
 SELECT doc_id, round_even(score, 6) AS score
 FROM s ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "events_cube": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dw AS VARCHAR), 'ALL') AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round_even(SUM(value), 4) AS sum_value
+FROM (
+  SELECT event_type,
+         CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS dw, value
+  FROM events
+)
+GROUP BY CUBE (event_type, dw)
+""",
+        "events_value_mad": """
+WITH m AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round_even(ANY_VALUE(m.med), 6) AS median_value,
+       round_even(median(abs(e.value - m.med)), 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type
 """,
         "props_k_stats": """
 WITH x AS (

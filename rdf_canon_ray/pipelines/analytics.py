@@ -526,6 +526,95 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
     return base.union(lvl1).union(lvl0).map_batches(finish, batch_format="pandas")
 
 
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE (event_type, day-of-week): all four grouping sets.
+    The corpus-scale pass happens once to the finest (type, dow) cells;
+    every other set re-aggregates the cell table (≤ |types|·7 rows), so
+    CUBE costs three extra TINY exchanges, not three scans.  Rolled-up
+    keys carry the sentinel 'ALL' (dow is stringified for a uniform
+    column type).  Output: (event_type, dow, n_events, sum_value 4dp)."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    keys = ["event_type", "dow"]
+    aggs = {"n_events": "sum", "sum_value": "sum"}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "dow": batch["ts"].dt.dayofweek.astype(np.int64).astype(str),
+                "n_events": np.ones(len(batch), np.int64),
+                "sum_value": batch["value"],
+            }
+        )
+        return t.groupby(keys, sort=False).sum().reset_index()
+
+    partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
+    base = grouped_agg(partials, keys, aggs, num_buckets=2)
+    lvl_t = grouped_agg(
+        base.map_batches(lambda b: b.assign(dow="ALL"), batch_format="pandas"),
+        keys,
+        aggs,
+        num_buckets=2,
+    )
+    lvl_d = grouped_agg(
+        base.map_batches(
+            lambda b: b.assign(event_type="ALL"), batch_format="pandas"
+        ),
+        keys,
+        aggs,
+        num_buckets=2,
+    )
+    lvl_0 = grouped_agg(
+        lvl_t.map_batches(
+            lambda b: b.assign(event_type="ALL"), batch_format="pandas"
+        ),
+        keys,
+        aggs,
+        num_buckets=1,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            n_events=b["n_events"].astype(np.int64),
+            sum_value=b["sum_value"].round(4),
+        )
+
+    return (
+        base.union(lvl_t).union(lvl_d).union(lvl_0)
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def events_value_mad(sf_dir: str) -> rd.Dataset:
+    """Robust statistics per group: interpolated median and median
+    absolute deviation of ``value`` per event_type — the outlier-robust
+    fit step of anomaly filters.  Exact medians need the partition
+    co-located: one exchange keyed on event_type, then vectorized
+    per-group medians in-bucket (the loop is over the handful of GROUPS,
+    never rows).  Output: (event_type, median_value, mad, n)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def mad(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in bucket.groupby("event_type", sort=False):
+            m = sub["value"].median()
+            rows.append(
+                (
+                    t,
+                    round(float(m), 6),
+                    round(float((sub["value"] - m).abs().median()), 6),
+                    np.int64(len(sub)),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "median_value", "mad", "n"]
+        )
+
+    return bucketed_map_groups(events, ["event_type"], mad, num_buckets=8)
+
+
 def length_quartiles(sf_dir: str, tiles: int = 4) -> rd.Dataset:
     """NTILE window: assign each document its length quartile within
     its source (the bucketing step of curriculum/quality binning).

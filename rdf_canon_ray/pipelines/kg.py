@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 import ray
 import ray.data as rd
 
@@ -587,3 +589,68 @@ def run_kg_pipeline(
     return canonical_graphs_dataset(
         sf_dir, transcripts, hndq_call_limit=hndq_call_limit
     )
+
+
+def conv_stats(sf_dir: str) -> rd.Dataset:
+    """Structural statistics of the transcript corpus itself (the
+    input_hint table): per conversation — turn count, tool-turn count,
+    distinct-role count.  One combiner-first exchange keyed on conv_id
+    (a conversation's turns span blocks: user/assistant rows come from
+    order batches, tool rows from lineitem batches).  The oracle
+    recomputes every value from the RELATIONAL ground truth the
+    generator encodes (n_turns = 2 + |lineitems|), closing the loop on
+    transcript-corpus ↔ source-table parity.  Output: (conv_id,
+    n_turns, n_tool_turns, n_roles)."""
+    from ..stages.shuffle import grouped_agg
+
+    ts = rd.read_parquet(
+        transcripts_parquet(sf_dir), columns=["conv_id", "role"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        role = batch["role"].to_numpy(dtype=object)
+        t = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": np.ones(len(batch), np.int64),
+                "n_tool_turns": (role == "tool").astype(np.int64),
+                "has_user": (role == "user").astype(np.int64),
+                "has_assistant": (role == "assistant").astype(np.int64),
+                "has_tool": (role == "tool").astype(np.int64),
+            }
+        )
+        g = t.groupby("conv_id", sort=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_tool_turns=("n_tool_turns", "sum"),
+            has_user=("has_user", "max"),
+            has_assistant=("has_assistant", "max"),
+            has_tool=("has_tool", "max"),
+        )
+        return g.reset_index()
+
+    merged = grouped_agg(
+        ts.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["conv_id"],
+        {
+            "n_turns": "sum",
+            "n_tool_turns": "sum",
+            "has_user": "max",
+            "has_assistant": "max",
+            "has_tool": "max",
+        },
+        num_buckets=32,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": b["n_turns"].astype(np.int64),
+                "n_tool_turns": b["n_tool_turns"].astype(np.int64),
+                "n_roles": (
+                    b["has_user"] + b["has_assistant"] + b["has_tool"]
+                ).astype(np.int64),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -1377,3 +1377,40 @@ def test_embed_covariance_matches_numpy(ray_session):
         assert abs(cov - C[i - 1, j - 1]) < 1e-6, (i, j)
     d = X.shape[1]
     assert len(got) == d * (d + 1) // 2
+
+
+def test_events_cube_grouping_sets_consistent(ray_session):
+    """CUBE internal consistency: each marginal's totals equal the base
+    cells' totals, and (ALL, ALL) equals the corpus."""
+    from rdf_canon_ray.pipelines import analytics
+
+    got = analytics.events_cube(SF).to_pandas()
+    base = got[(got["event_type"] != "ALL") & (got["dow"] != "ALL")]
+    t_marg = got[(got["event_type"] != "ALL") & (got["dow"] == "ALL")]
+    d_marg = got[(got["event_type"] == "ALL") & (got["dow"] != "ALL")]
+    grand = got[(got["event_type"] == "ALL") & (got["dow"] == "ALL")]
+    assert len(grand) == 1
+    total = base["n_events"].sum()
+    assert t_marg["n_events"].sum() == total
+    assert d_marg["n_events"].sum() == total
+    assert grand["n_events"].iloc[0] == total
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    assert total == len(ev)
+
+
+def test_events_value_mad_matches_numpy(ray_session):
+    from rdf_canon_ray.pipelines import analytics
+
+    got = (
+        analytics.events_value_mad(SF)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for t, sub in ev.groupby("event_type"):
+        med = np.median(sub["value"])
+        mad = np.median(np.abs(sub["value"] - med))
+        assert abs(got.loc[t, "median_value"] - med) < 1e-6
+        assert abs(got.loc[t, "mad"] - mad) < 1e-6
+        assert got.loc[t, "n"] == len(sub)
