@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..stages.shuffle import grouped_agg
+from ..stages.shuffle import grouped_agg, single_bucket_merge
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -549,13 +549,16 @@ def events_cube(sf_dir: str) -> rd.Dataset:
         return t.groupby(keys, sort=False).sum().reset_index()
 
     partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
-    base = grouped_agg(partials, keys, aggs, num_buckets=2)
+    # materialize(): base/lvl_t feed multiple union branches, and Ray Data
+    # re-executes a shared ancestor once PER REFERENCE — without pinning,
+    # the corpus scan would run 4x.  The cell tables are ≤ |types|·7 rows.
+    base = grouped_agg(partials, keys, aggs, num_buckets=2).materialize()
     lvl_t = grouped_agg(
         base.map_batches(lambda b: b.assign(dow="ALL"), batch_format="pandas"),
         keys,
         aggs,
         num_buckets=2,
-    )
+    ).materialize()
     lvl_d = grouped_agg(
         base.map_batches(
             lambda b: b.assign(event_type="ALL"), batch_format="pandas"
@@ -1222,7 +1225,6 @@ def top_bigram_pmi(
     one tiny final merge.  ln/division order mirrors the SQL oracle
     exactly.  Output: (w1, w2, n_pair, pmi rounded 6dp)."""
     from ..stages.joins import hash_join
-    from ..stages.shuffle import bucketed_map_groups
 
     docs = _read(sf_dir, "documents", columns=["text"])
 
@@ -1232,12 +1234,16 @@ def top_bigram_pmi(
             {"term": vc.index.to_numpy(dtype=object), "cu": vc.to_numpy(np.int64)}
         )
 
+    # materialize(): uni is referenced 3x (scalar sum + both joins) and bg
+    # 2x; Ray Data re-executes a shared ancestor once per reference, so
+    # without pinning the corpus-scale token explode + 64-bucket exchange
+    # would run 3x.  The pinned tables are vocabulary-scale, not corpus.
     uni = grouped_agg(
         docs.map_batches(uni_partial, batch_format="pandas", batch_size=2048),
         ["term"],
         {"cu": "sum"},
         num_buckets=64,
-    )
+    ).materialize()
 
     def bg_partial(batch: pd.DataFrame) -> pd.DataFrame:
         e = batch["text"].reset_index(drop=True).str.split().explode().dropna()
@@ -1257,7 +1263,7 @@ def top_bigram_pmi(
         ["w1", "w2"],
         {"c12": "sum"},
         num_buckets=64,
-    )
+    ).materialize()
 
     def _scalar_sum(ds: rd.Dataset, col: str) -> float:
         parts = ds.map_batches(
@@ -1320,18 +1326,7 @@ def top_bigram_pmi(
     scored = j2.map_batches(score, batch_format="pandas").map_batches(
         local_topk, batch_format="pandas", batch_size=65536
     )
-
-    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["_k"] = np.zeros(len(batch), np.int8)
-        return out
-
-    return bucketed_map_groups(
-        scored.map_batches(const_key, batch_format="pandas"),
-        ["_k"],
-        lambda b: local_topk(b.drop(columns=["_k"])),
-        num_buckets=1,
-    )
+    return single_bucket_merge(scored, local_topk)
 
 
 def customers_no_urgent_orders(sf_dir: str) -> rd.Dataset:
@@ -1549,8 +1544,6 @@ def top_terms(sf_dir: str, k: int = 100) -> rd.Dataset:
     value_counts (combiner) → bucketed grouped sum → per-bucket top-k →
     single tiny final merge.  The full term table never leaves the
     cluster; only ≤ k rows per bucket reach the final merge."""
-    from ..stages.shuffle import bucketed_map_groups, grouped_agg
-
     docs = _read(sf_dir, "documents", columns=["text"])
 
     def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1582,17 +1575,7 @@ def top_terms(sf_dir: str, k: int = 100) -> rd.Dataset:
             ["n", "term"], ascending=[False, True], kind="mergesort"
         ).head(k)[["term", "n"]]
 
-    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["_k"] = np.zeros(len(batch), np.int8)
-        return out
-
-    return bucketed_map_groups(
-        pruned.map_batches(const_key, batch_format="pandas"),
-        ["_k"],
-        lambda b: final(b.drop(columns=["_k"])),
-        num_buckets=1,
-    )
+    return single_bucket_merge(pruned, final)
 
 
 def quality_filtered(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
@@ -1913,8 +1896,6 @@ def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
     MAP-ONLY pass (a document's tokens live in its own row); the final
     top-k merges ≤ k rows per batch in one tiny bucket.  Output:
     (doc_id, score rounded 6dp)."""
-    from ..stages.shuffle import bucketed_map_groups
-
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = float(docs.count())
 
@@ -1943,18 +1924,8 @@ def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
             ["df", "term"], ascending=[False, True], kind="mergesort"
         ).head(n_query_terms)
 
-    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["_k"] = np.zeros(len(batch), np.int8)
-        return out
-
-    qterms = bucketed_map_groups(
-        dfs.map_batches(local_top, batch_format="pandas").map_batches(
-            const_key, batch_format="pandas"
-        ),
-        ["_k"],
-        lambda b: local_top(b.drop(columns=["_k"])),
-        num_buckets=1,
+    qterms = single_bucket_merge(
+        dfs.map_batches(local_top, batch_format="pandas"), local_top
     ).to_pandas()
     idf = {
         t: np.log(n_docs / d) for t, d in zip(qterms["term"], qterms["df"])
@@ -1999,16 +1970,11 @@ def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
     )
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket.drop(columns=["_k"]).sort_values(
+        return bucket.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
 
-    return bucketed_map_groups(
-        scored.map_batches(const_key, batch_format="pandas"),
-        ["_k"],
-        final,
-        num_buckets=1,
-    )
+    return single_bucket_merge(scored, final)
 
 
 def _source_term_pairs(sf_dir: str, batch_size: int = 2048) -> rd.Dataset:

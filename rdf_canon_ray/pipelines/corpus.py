@@ -425,13 +425,12 @@ def hash_split(sf_dir: str) -> rd.Dataset:
     )
 
 
-def decontaminate(sf_dir: str, n: int = 8, bench_docs: int = 10) -> rd.Dataset:
-    """Benchmark decontamination: flag documents sharing any word
-    n-gram with the benchmark set (here: the ``bench_docs``
-    lowest-doc_id documents stand in for an eval benchmark).  The
-    benchmark shingle set broadcasts once; the scan is map-only."""
-    import ray
-
+def _bench_shingles(sf_dir: str, n: int, bench_docs: int) -> frozenset:
+    """Shared benchmark-set definition for decontaminate/curate_corpus:
+    the ``bench_docs`` lowest-doc_id documents stand in for an eval
+    benchmark; their union of word n-gram shingles is the contamination
+    probe set.  Driver-side full-column load is fine at test scale; at
+    100 TB the benchmark set is external and tiny by construction."""
     bench_tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -441,7 +440,16 @@ def decontaminate(sf_dir: str, n: int = 8, bench_docs: int = 10) -> rd.Dataset:
     shingles: set = set()
     for _, t in order:
         shingles |= text.Decontaminate.shingles(t, n)
-    bench_ref = ray.put(frozenset(shingles))
+    return frozenset(shingles)
+
+
+def decontaminate(sf_dir: str, n: int = 8, bench_docs: int = 10) -> rd.Dataset:
+    """Benchmark decontamination: flag documents sharing any word
+    n-gram with the benchmark set (see ``_bench_shingles``).  The
+    benchmark shingle set broadcasts once; the scan is map-only."""
+    import ray
+
+    bench_ref = ray.put(_bench_shingles(sf_dir, n, bench_docs))
     return _docs(sf_dir).map_batches(
         text.Decontaminate,
         fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
@@ -941,10 +949,7 @@ def embedding_zscore_checksums(sf_dir: str) -> rd.Dataset:
 
     from ..stages.shuffle import grouped_agg
 
-    emb = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
+    emb = _embeddings(sf_dir)
 
     def moments(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
@@ -1140,16 +1145,7 @@ def curate_corpus(
     from ..stages.joins import anti_join_filter, partitioned_anti_join
     from ..util import default_buckets
 
-    bench_tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    order = sorted(
-        zip(bench_tbl["doc_id"].to_pylist(), bench_tbl["text"].to_pylist())
-    )[:bench_docs]
-    shingles: set = set()
-    for _, t in order:
-        shingles |= text.Decontaminate.shingles(t, n)
-    bench_ref = ray.put(frozenset(shingles))
+    bench_ref = ray.put(_bench_shingles(sf_dir, n, bench_docs))
 
     def filtered() -> rd.Dataset:
         return _docs(sf_dir).map_batches(

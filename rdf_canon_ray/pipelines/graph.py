@@ -144,8 +144,8 @@ def pagerank(
     (entity_iri, rank) with rank rounded half-even to 6 dp."""
     if not force_partitioned:
         adj = _packed_adjacency(sf_dir, max_conv_entities).materialize()
-        deg_df = adj.select_columns(["node", "deg"]).to_pandas()
-        if len(deg_df) <= broadcast_threshold:
+        if adj.count() <= broadcast_threshold:
+            deg_df = adj.select_columns(["node", "deg"]).to_pandas()
             return _pagerank_broadcast(adj, deg_df, iterations)
     return _pagerank_partitioned(sf_dir, iterations, max_conv_entities)
 
@@ -237,26 +237,30 @@ def bfs_depths(
     max_depth: int = 4,
     broadcast_threshold: int = 500_000,
     max_conv_entities: Optional[int] = None,
+    force_partitioned: bool = False,
 ) -> rd.Dataset:
     """Single-source BFS levels over the co-mention graph (the iterative
     traversal family: reachability / shortest hops).  Seed = the
-    max-degree entity (ties → lexicographically smallest).  Uses the
-    same resident-graph pattern as ``_pagerank_broadcast``: the
-    adjacency packs ONCE, then each of the ``max_depth`` rounds is a
-    MAP-ONLY min-plus relaxation (new_depth(v) = min(depth(v),
-    1 + min depth over in-neighbors)) with the node-scale depth vector
-    broadcast via ``ray.put`` — zero per-iteration shuffle.  The vector
-    is gated by ``broadcast_threshold`` exactly like PageRank's ranks.
+    max-degree entity (ties → lexicographically smallest).  Two modes
+    behind the same node-count gate as ``pagerank``:
+      - resident broadcast (node table ≤ threshold): the adjacency
+        packs ONCE, then each of the ``max_depth`` rounds is a MAP-ONLY
+        min-plus relaxation (new_depth(v) = min(depth(v), 1 + min depth
+        over in-neighbors)) with the node-scale depth vector broadcast
+        via ``ray.put`` — zero per-iteration shuffle.
+      - partitioned fallback (``_bfs_partitioned``): depths stay a
+        frontier-scale Dataset; each round is one bucketed hash join
+        (edges ⋈ depths on src) + one grouped min on dst — no
+        node-scale state anywhere.
     Converges level-by-level, so round r finalizes every node at BFS
     distance ≤ r.  Output: (entity_iri, depth ≤ max_depth) for reached
     nodes only; the oracle replays it as a bounded recursive CTE."""
+    if force_partitioned:
+        return _bfs_partitioned(sf_dir, max_depth, max_conv_entities)
     adj = _packed_adjacency(sf_dir, max_conv_entities).materialize()
+    if adj.count() > broadcast_threshold:
+        return _bfs_partitioned(sf_dir, max_depth, max_conv_entities)
     deg_df = adj.select_columns(["node", "deg"]).to_pandas()
-    if len(deg_df) > broadcast_threshold:
-        raise NotImplementedError(
-            "bfs_depths requires the depth vector to fit the broadcast "
-            "gate; partition the graph or raise the threshold"
-        )
     sd = deg_df.sort_values(
         ["deg", "node"], ascending=[False, True], kind="mergesort"
     )
@@ -487,12 +491,9 @@ def triangle_counts(
     )
 
 
-def _pagerank_partitioned(
-    sf_dir: str, iterations: int, max_conv_entities: Optional[int]
-) -> rd.Dataset:
-    """No node-scale state anywhere: degree-annotated symmetric edge
-    table materialized once, then per iteration one bucketed hash join
-    (edges ⋈ ranks on src) + one grouped sum on dst."""
+def _sym_edges(sf_dir: str, max_conv_entities: Optional[int]) -> rd.Dataset:
+    """Symmetric (src, dst) edge table — both directions of every
+    distinct co-mention edge."""
     edges = comention_edges(sf_dir, max_conv_entities)
 
     def mirror(batch: pd.DataFrame) -> pd.DataFrame:
@@ -506,7 +507,85 @@ def _pagerank_partitioned(
             ignore_index=True,
         )[["src", "dst"]]
 
-    sym = edges.map_batches(mirror, batch_format="pandas", batch_size=32768)
+    return edges.map_batches(mirror, batch_format="pandas", batch_size=32768)
+
+
+def _bfs_partitioned(
+    sf_dir: str, max_depth: int, max_conv_entities: Optional[int]
+) -> rd.Dataset:
+    """BFS on the shuffle backbone — no node-scale driver/broadcast
+    state.  The depth table starts as the single seed row and stays
+    reached-set-scale; each round is one bucketed hash join (edges ⋈
+    depths on src → candidate depth d+1 at dst) + one grouped min over
+    (previous depths ∪ candidates).  Min-plus relaxation is monotone
+    and idempotent, so running exactly ``max_depth`` rounds yields the
+    same result as the broadcast path's early-exit loop."""
+    from ..stages.shuffle import single_bucket_merge
+
+    sym = _sym_edges(sf_dir, max_conv_entities).materialize()
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["src"], "deg": np.ones(len(batch), np.int64)}
+        )
+
+    deg = grouped_agg(
+        sym.map_batches(ones, batch_format="pandas"),
+        ["node"],
+        {"deg": "sum"},
+        default_buckets(),
+    )
+
+    def local_top1(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["deg", "node"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    seed_df = single_bucket_merge(
+        deg.map_batches(local_top1, batch_format="pandas"), local_top1
+    ).to_pandas()
+    seed = seed_df["node"].iloc[0]
+
+    depths = rd.from_pandas(
+        pd.DataFrame({"node": [seed], "d": np.asarray([0], np.int64)})
+    )
+    for _ in range(max_depth):
+        msgs = hash_join(
+            sym,
+            depths.map_batches(
+                lambda b: b.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            on="src",
+            num_buckets=default_buckets(),
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["dst"],
+                    "d": b["d"].to_numpy(np.int64) + np.int64(1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        depths = grouped_agg(
+            depths.union(msgs), ["node"], {"d": "min"}, default_buckets()
+        ).materialize()
+
+    return depths.map_batches(
+        lambda b: pd.DataFrame(
+            {"entity_iri": b["node"], "depth": b["d"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _pagerank_partitioned(
+    sf_dir: str, iterations: int, max_conv_entities: Optional[int]
+) -> rd.Dataset:
+    """No node-scale state anywhere: degree-annotated symmetric edge
+    table materialized once, then per iteration one bucketed hash join
+    (edges ⋈ ranks on src) + one grouped sum on dst."""
+    sym = _sym_edges(sf_dir, max_conv_entities)
 
     def ones(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

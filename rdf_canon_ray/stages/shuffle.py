@@ -92,6 +92,31 @@ def bucketed_map_groups(
     )
 
 
+def single_bucket_merge(
+    ds: rd.Dataset,
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Funnel a (pre-reduced, small) dataset into ONE task and apply
+    ``merge_fn`` to the whole thing — the final merge of a two-level
+    top-k / global-reduce.  Callers MUST have already shrunk the stream
+    (per-batch local top-k / partial aggregate); this stage is the tiny
+    tail, not the wide body."""
+
+    def const_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_k"] = np.zeros(len(out), np.int8)
+        return out
+
+    return bucketed_map_groups(
+        ds.map_batches(const_key, batch_format="pandas", batch_size=batch_size),
+        ["_k"],
+        lambda b: merge_fn(b.drop(columns=["_k"])),
+        num_buckets=1,
+        batch_size=batch_size,
+    )
+
+
 def distinct(
     ds: rd.Dataset,
     keys: Sequence[str],

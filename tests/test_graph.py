@@ -64,6 +64,24 @@ def test_pagerank_broadcast_matches_partitioned(ray_session):
     assert 0.5 < bc["rank"].mean() < 1.5
 
 
+def test_bfs_broadcast_matches_partitioned(ray_session):
+    bc = (
+        graph.bfs_depths(SF, max_depth=3)
+        .to_pandas()
+        .sort_values("entity_iri")
+        .reset_index(drop=True)
+    )
+    part = (
+        graph.bfs_depths(SF, max_depth=3, force_partitioned=True)
+        .to_pandas()
+        .sort_values("entity_iri")
+        .reset_index(drop=True)
+    )
+    assert bc["entity_iri"].tolist() == part["entity_iri"].tolist()
+    assert bc["depth"].tolist() == part["depth"].tolist()
+    assert (bc["depth"] == 0).sum() == 1  # exactly one seed
+
+
 def test_triangle_counts_vs_set_intersection(ray_session):
     got = (
         graph.triangle_counts(SF)
