@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentile": analytics.events_value_percentile,
         "search_topk": analytics.search_topk,
         "events_cube": analytics.events_cube,
+        "orders_profile": analytics.orders_profile,
         "events_value_mad": analytics.events_value_mad,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
@@ -1556,6 +1557,26 @@ s AS (
 )
 SELECT doc_id, round_even(score, 6) AS score
 FROM s ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "orders_profile": """
+SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(*)-COUNT(o_orderkey) AS n_null,
+  COUNT(DISTINCT o_orderkey) AS n_distinct,
+  round_even(CAST(MIN(o_orderkey) AS DOUBLE),6) AS min_v,
+  round_even(CAST(MAX(o_orderkey) AS DOUBLE),6) AS max_v,
+  round_even(SUM(CAST(o_orderkey AS DOUBLE))/COUNT(o_orderkey),6) AS mean_v FROM orders
+UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*)-COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+  round_even(CAST(MIN(o_custkey) AS DOUBLE),6), round_even(CAST(MAX(o_custkey) AS DOUBLE),6),
+  round_even(SUM(CAST(o_custkey AS DOUBLE))/COUNT(o_custkey),6) FROM orders
+UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(*)-COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+  round_even(CAST(MIN(o_totalprice) AS DOUBLE),6), round_even(CAST(MAX(o_totalprice) AS DOUBLE),6),
+  round_even(SUM(o_totalprice)/COUNT(o_totalprice),6) FROM orders
+UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*)-COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+  round_even(CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),6),
+  round_even(CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE),6), 0.0 FROM orders
+UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*)-COUNT(o_orderstatus),
+  COUNT(DISTINCT o_orderstatus), 0.0, 0.0, 0.0 FROM orders
+UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*)-COUNT(o_orderpriority),
+  COUNT(DISTINCT o_orderpriority), 0.0, 0.0, 0.0 FROM orders
 """,
         "events_cube": """
 SELECT COALESCE(event_type, 'ALL') AS event_type,

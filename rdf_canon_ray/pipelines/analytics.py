@@ -15,6 +15,7 @@ Patterns on display (SURVEY.md §2.4):
 from __future__ import annotations
 
 import os
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -2074,4 +2075,143 @@ def events_price_band(sf_dir: str, scale: float = 100.0, radius: float = 5.0) ->
         ["event_id"],
         {"n_parts": "sum"},
         num_buckets=32,
+    )
+
+
+def profile_columns(
+    ds: rd.Dataset,
+    numeric_cols: Sequence[str],
+    other_cols: Sequence[str] = (),
+    epoch_cols: Sequence[str] = (),
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Data-quality column profile — the ingest validation gate every
+    100 TB pipeline runs before training: per column row count, null
+    count, EXACT distinct count, and (numeric/timestamp columns) min,
+    max and mean rounded half-even to 6 dp.
+
+    Scale shape: one corpus pass of per-batch stat partials funneled
+    through the tiny ``single_bucket_merge`` (≤ |cols| rows per batch),
+    plus one pass emitting per-batch-distinct (col, repr) pairs through
+    the bucketed distinct exchange (the only wide step — it carries
+    Σ per-batch distinct values, combiner-deduped before the wire) and
+    a grouped count.  No driver-side value set at any point; the two
+    result tables are |cols| rows and join in one tiny bucket.
+
+    ``epoch_cols`` are timestamps profiled on the epoch-microsecond
+    axis (min/max exact in a double; mean is NOT computed — the µs
+    epoch sum exceeds 2^53 and would be summation-order-dependent).
+    ``other_cols`` (strings) get count/null/distinct with 0.0
+    sentinels for min/max/mean.  Output: (col, n, n_null, n_distinct,
+    min_v, max_v, mean_v), one row per profiled column."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import distinct as distinct_x
+    from ..stages.shuffle import grouped_agg
+
+    numeric_cols = list(numeric_cols)
+    other_cols = list(other_cols)
+    epoch_cols = list(epoch_cols)
+    all_cols = numeric_cols + epoch_cols + other_cols
+
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in numeric_cols + epoch_cols:
+            s = batch[c]
+            if c in epoch_cols:
+                s = s.astype("datetime64[us]").astype(np.int64).where(
+                    batch[c].notna()
+                )
+            v = s.dropna().to_numpy(dtype=np.float64)
+            rows.append(
+                (
+                    c,
+                    np.int64(len(batch)),
+                    np.int64(len(batch) - len(v)),
+                    float(v.sum()) if len(v) else 0.0,
+                    float(v.min()) if len(v) else np.inf,
+                    float(v.max()) if len(v) else -np.inf,
+                )
+            )
+        for c in other_cols:
+            nn = int(batch[c].notna().sum())
+            rows.append(
+                (c, np.int64(len(batch)), np.int64(len(batch) - nn), 0.0, np.inf, -np.inf)
+            )
+        return pd.DataFrame(
+            rows, columns=["col", "n", "n_null", "s", "mn", "mx"]
+        )
+
+    stats = grouped_agg(
+        ds.map_batches(stat_partial, batch_format="pandas", batch_size=32768),
+        ["col"],
+        {"n": "sum", "n_null": "sum", "s": "sum", "mn": "min", "mx": "max"},
+        num_buckets=2,
+    )
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in all_cols:
+            u = batch[c].dropna().unique()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "col": np.full(len(u), c, dtype=object),
+                        "v": np.asarray([repr(x) for x in u], dtype=object),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"col": batch["col"], "n_distinct": np.ones(len(batch), np.int64)}
+        )
+
+    dcounts = grouped_agg(
+        distinct_x(
+            ds.map_batches(
+                pair_partial, batch_format="pandas", batch_size=32768
+            ),
+            ["col", "v"],
+            num_buckets=num_buckets,
+        ).map_batches(ones, batch_format="pandas"),
+        ["col"],
+        {"n_distinct": "sum"},
+        num_buckets=2,
+    )
+
+    joined = hash_join(stats, dcounts, on="col", num_buckets=2)
+    mean_cols = frozenset(numeric_cols)
+    stat_cols = frozenset(numeric_cols + epoch_cols)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        has_stats = b["col"].isin(stat_cols).to_numpy()
+        has_mean = b["col"].isin(mean_cols).to_numpy()
+        denom = (b["n"] - b["n_null"]).to_numpy(dtype=np.float64)
+        mean = np.divide(
+            b["s"].to_numpy(), denom, out=np.zeros(len(b)), where=denom > 0
+        )
+        return pd.DataFrame(
+            {
+                "col": b["col"],
+                "n": b["n"].astype(np.int64),
+                "n_null": b["n_null"].astype(np.int64),
+                "n_distinct": b["n_distinct"].astype(np.int64),
+                "min_v": np.round(np.where(has_stats, b["mn"], 0.0), 6),
+                "max_v": np.round(np.where(has_stats, b["mx"], 0.0), 6),
+                "mean_v": np.round(np.where(has_mean, mean, 0.0), 6),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=1024)
+
+
+def orders_profile(sf_dir: str) -> rd.Dataset:
+    """Column profile of the orders table (see ``profile_columns``)."""
+    orders = _read(sf_dir, "orders")
+    return profile_columns(
+        orders,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        epoch_cols=["o_orderdate"],
+        other_cols=["o_orderstatus", "o_orderpriority"],
     )

@@ -1414,3 +1414,44 @@ def test_events_value_mad_matches_numpy(ray_session):
         assert abs(got.loc[t, "median_value"] - med) < 1e-6
         assert abs(got.loc[t, "mad"] - mad) < 1e-6
         assert got.loc[t, "n"] == len(sub)
+
+
+def test_profile_columns_nulls_and_distincts(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "x": [1.0, 2.0, 2.0, np.nan, 5.0],
+            "t": pd.to_datetime(
+                ["2024-01-01", None, "2024-01-03", "2024-01-03", "2024-01-05"]
+            ),
+            "s": ["a", "b", None, "b", "c"],
+        }
+    )
+    got = (
+        analytics.profile_columns(
+            rd.from_pandas(df),
+            numeric_cols=["x"],
+            epoch_cols=["t"],
+            other_cols=["s"],
+            num_buckets=2,
+        )
+        .to_pandas()
+        .set_index("col")
+    )
+    assert (got["n"] == 5).all()
+    assert got.loc["x", "n_null"] == 1 and got.loc["x", "n_distinct"] == 3
+    assert got.loc["x", "min_v"] == 1.0 and got.loc["x", "max_v"] == 5.0
+    assert got.loc["x", "mean_v"] == 2.5
+    assert got.loc["t", "n_null"] == 1 and got.loc["t", "n_distinct"] == 3
+    day_us = 86_400_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    assert got.loc["t", "min_v"] == float(base)
+    assert got.loc["t", "max_v"] == float(base + 4 * day_us)
+    assert got.loc["t", "mean_v"] == 0.0  # sentinel: no epoch mean
+    assert got.loc["s", "n_null"] == 1 and got.loc["s", "n_distinct"] == 3
+    assert (
+        got.loc["s", ["min_v", "max_v", "mean_v"]].to_numpy() == 0.0
+    ).all()
