@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
         "dedup_embedding_pairs": corpus.embedding_near_dups,
         "dedup_clean": corpus.dedup_clean,
+        "leakage_safe_split": corpus.leakage_safe_split,
         "curate_corpus": corpus.curate_corpus,
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
@@ -934,6 +935,48 @@ WITH RECURSIVE d AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
+    # same word-3-gram group closure as dedup_clean, but the groups key a
+    # cluster-coherent split instead of a drop-set
+    extra["leakage_safe_split"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(w) < 3
+              THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, LENGTH(w) - 2),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (LENGTH(a.sh) + LENGTH(b.sh)
+             - LENGTH(list_intersect(a.sh, b.sh))) >= 0.5
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+), rep AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+), k AS (
+  SELECT doc.doc_id, COALESCE(r.rep_id, doc.doc_id) AS skey
+  FROM documents doc LEFT JOIN rep r ON doc.doc_id = r.doc_id
+)
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(skey AS VARCHAR)), 1, 2) <= 'cd'
+              THEN 'train'
+            WHEN substr(md5(CAST(skey AS VARCHAR)), 1, 2) <= 'e7'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM k
 """
     extra["curate_corpus"] = f"""
 WITH RECURSIVE kq AS (

@@ -1234,3 +1234,50 @@ def embed_covariance(sf_dir: str) -> rd.Dataset:
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def leakage_safe_split(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """Group-aware train/val/test split: a near-dup CLUSTER lands wholly
+    in one split (split key = the cluster's min-id representative, solo
+    docs key on themselves), so eval can't be contaminated by a
+    near-copy of a training document — the leakage-safe upgrade of
+    ``hash_split`` that large-scale curation actually requires.
+
+    Scale shape: the group table from ``dup_groups_from_pairs`` is
+    output-scale (only docs touching a near-dup pair); it attaches to
+    the id column via one partitioned LEFT hash join, and the split
+    assignment is the same content-stable md5-threshold rule as
+    ``HashSplit`` (row-order / partitioning / cluster-size invariant).
+    Output: (doc_id, split)."""
+    from ..stages.dedup import dup_groups_from_pairs
+    from ..stages.joins import hash_join
+    from ..util import default_buckets
+
+    groups = dup_groups_from_pairs(
+        ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    )
+    ids = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    joined = hash_join(
+        ids, groups, on="doc_id", how="left", num_buckets=default_buckets()
+    )
+    splitter = text.HashSplit()
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        doc = b["doc_id"].to_numpy(dtype=np.int64)
+        # the left join NaN-pads rep_id to float64 for unmatched docs
+        rep = b["rep_id"].to_numpy(dtype=np.float64)
+        key = np.where(np.isnan(rep), doc.astype(np.float64), rep).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "split": np.asarray(
+                    [splitter.assign(str(k)) for k in key], dtype=object
+                ),
+            }
+        )
+
+    return joined.map_batches(assign, batch_format="pandas", batch_size=32768)

@@ -1455,3 +1455,22 @@ def test_profile_columns_nulls_and_distincts(ray_session):
     assert (
         got.loc["s", ["min_v", "max_v", "mean_v"]].to_numpy() == 0.0
     ).all()
+
+
+def test_leakage_safe_split_clusters_cohere(ray_session):
+    from rdf_canon_ray.pipelines import corpus
+
+    got = corpus.leakage_safe_split(SF).to_pandas()
+    assert set(got["split"]) <= {"train", "val", "test"}
+    groups = corpus.dedup.dup_groups_from_pairs(
+        corpus.ngram_jaccard_pairs(SF)
+    ).to_pandas()
+    assert len(groups) > 0  # sf0.001 corpus contains near-dups
+    merged = groups.merge(got, on="doc_id")
+    # every member of a near-dup cluster lands in the same split
+    assert merged.groupby("rep_id")["split"].nunique().eq(1).all()
+    # docs outside any cluster keep the plain content-stable assignment
+    plain = corpus.hash_split(SF).to_pandas()
+    solo = got[~got["doc_id"].isin(set(groups["doc_id"]))]
+    cmp = solo.merge(plain, on="doc_id", suffixes=("", "_plain"))
+    assert (cmp["split"] == cmp["split_plain"]).all()
