@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": analytics.local_supplier_volume,
         "events_prev": analytics.events_prev,
         "events_running_total": analytics.events_running_total,
+        "events_moving_avg": analytics.events_moving_avg,
         "source_len_token_corr": analytics.source_len_token_corr,
         "customer_order_counts": analytics.customer_order_counts,
         "events_type_pivot": analytics.events_type_pivot,
@@ -1393,6 +1394,14 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "events_moving_avg": """
+SELECT event_id, user_id,
+       round_even(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 6) AS mavg
+FROM events
 """,
         "events_running_total": """
 SELECT event_id, user_id,

@@ -2215,3 +2215,35 @@ def orders_profile(sf_dir: str) -> rd.Dataset:
         epoch_cols=["o_orderdate"],
         other_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+def events_moving_avg(sf_dir: str, frame: int = 3) -> rd.Dataset:
+    """Bounded ROWS-frame window: per-user moving average of ``value``
+    over the current row and the ``frame − 1`` preceding events in
+    (ts, event_id) order — SQL's ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW, the frame type that complements the unbounded running total
+    and the RANGE-style time windows already covered.  One user-keyed
+    bucketed exchange; inside the bucket a vectorized pandas
+    groupby-rolling kernel (min_periods=1 so the warm-up rows average
+    what exists).  Output: (event_id, user_id, mavg rounded 6dp)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        m = (
+            b.groupby("user_id", sort=False)["value"]
+            .rolling(frame, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "mavg": m.round(6).to_numpy(),
+            }
+        )
+
+    return bucketed_map_groups(events, ["user_id"], run_bucket, num_buckets=16)
