@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
+        "events_hourly_users": analytics.events_hourly_users,
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "docs_by_source_csv": analytics.docs_by_source_csv,
@@ -1348,6 +1349,12 @@ FROM (
 ) r JOIN customer USING (c_custkey)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10
+""",
+        "events_hourly_users": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
 """,
         "events_hourly": """
 SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,

@@ -2247,3 +2247,47 @@ def events_moving_avg(sf_dir: str, frame: int = 3) -> rd.Dataset:
         )
 
     return bucketed_map_groups(events, ["user_id"], run_bucket, num_buckets=16)
+
+
+def events_hourly_users(sf_dir: str) -> rd.Dataset:
+    """Windowed EXACT distinct count: unique active users per
+    (event_type, 1-hour window) — the COUNT(DISTINCT) streaming metric
+    tumbling counts can't give.  Shape: per-batch (type, window, user)
+    dedup in the Arrow combiner, one bucketed distinct exchange keyed on
+    the triple (the only wide step — it carries batch-deduped triples,
+    not events), then a combiner-first grouped count of the surviving
+    rows.  Output: (event_type, window_start, n_users)."""
+    from ..stages.shuffle import distinct as distinct_x
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["ts"].dt.floor("h"),
+                "user_id": batch["user_id"],
+            }
+        ).drop_duplicates()
+
+    triples = distinct_x(
+        ev.map_batches(keyed, batch_format="pandas", batch_size=65536),
+        ["event_type", "window_start", "user_id"],
+        num_buckets=16,
+    )
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["window_start"],
+                "n_users": np.ones(len(batch), np.int64),
+            }
+        )
+
+    return grouped_agg(
+        triples.map_batches(ones, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_users": "sum"},
+        num_buckets=8,
+    )
