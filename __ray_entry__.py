@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": analytics.events_value_mad,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
+        "orders_automobile_bloom": analytics.orders_automobile_bloom,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
         "events_sliding30": lambda sf: analytics.events_sliding(
@@ -1720,6 +1721,14 @@ SELECT event_id, user_id,
 FROM events
 """,
         "orders_automobile": """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+""",
+        # bloom prefilter + exact join must equal the plain semi join
+        "orders_automobile_bloom": """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
 FROM orders
 WHERE o_custkey IN (

@@ -2291,3 +2291,44 @@ def events_hourly_users(sf_dir: str) -> rd.Dataset:
         {"n_users": "sum"},
         num_buckets=8,
     )
+
+
+def orders_automobile_bloom(sf_dir: str) -> rd.Dataset:
+    """Same semi join as ``orders_automobile``, executed with the
+    100 TB large⋈large shape: a distributed Bloom build over the
+    AUTOMOBILE customer keys (fixed 128 KiB bitset broadcast — never a
+    driver-side key set), a MAP-ONLY Bloom prefilter on orders that
+    drops definite non-matches before any exchange, then the exact
+    partitioned hash join removing Bloom false positives.  The shuffle
+    carries only probable matches; kept/seen counts are
+    metrics-reported.  Output: (o_orderkey, o_custkey, o_totalprice)."""
+    from ..stages.joins import bloom_prefilter, build_bloom, hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_custkey": b.loc[
+                    b["c_mktsegment"] == "AUTOMOBILE", "c_custkey"
+                ].to_numpy(dtype=np.int64)
+            }
+        ),
+        batch_format="pandas",
+        batch_size=32768,
+    )
+    bits_ref = build_bloom(keys, "o_custkey")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    probable = bloom_prefilter(orders, "o_custkey", bits_ref)
+    joined = hash_join(probable, keys, on="o_custkey", num_buckets=16)
+    return joined.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype(np.int64),
+                "o_custkey": b["o_custkey"].astype(np.int64),
+                "o_totalprice": b["o_totalprice"].round(4),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -27,6 +27,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..state import metrics
 from .shuffle import bucketed_map_groups
 
 
@@ -352,3 +353,83 @@ def range_join(
         return m.loc[(rv >= v - w) & (rv < v + w)]
 
     return bucketed_map_groups(tagged, ["_cell"], merge_bucket, num_buckets)
+
+
+def _bloom_hashes(
+    values: pd.Series, n_bits: int, k: int
+) -> "np.ndarray":
+    """k Kirsch-Mitzenmacher bit positions per value, shape (k, n):
+    pos_i = (h1 + i·h2) mod n_bits with h1 = the pandas 64-bit column
+    hash and h2 an odd derivative — both sides of a join MUST present
+    the key at the same dtype (the hash is dtype-sensitive, same
+    contract as ``hash_join``'s bucket hash)."""
+    h1 = pd.util.hash_pandas_object(values, index=False).to_numpy().astype(
+        np.uint64
+    )
+    h2 = (h1 >> np.uint64(33)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def build_bloom(
+    ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 4
+):
+    """Distributed Bloom-filter build over ``ds[col]`` → an object-store
+    ref to the packed bitset (``n_bits/8`` bytes — 128 KiB at the
+    default, a broadcastable constant regardless of key cardinality).
+    Per-batch partial bitsets OR-merge through ``single_bucket_merge``;
+    only fixed-size bitsets cross the wire, never keys."""
+    from .shuffle import single_bucket_merge
+
+    nbytes = n_bits // 8
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(nbytes, np.uint8)
+        if len(batch):
+            pos = _bloom_hashes(batch[col], n_bits, k).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack(
+            [np.frombuffer(x, np.uint8) for x in b["bits"]]
+        )
+        return pd.DataFrame(
+            {"bits": [np.bitwise_or.reduce(stacked, axis=0).tobytes()]}
+        )
+
+    merged = single_bucket_merge(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        merge,
+    ).to_pandas()
+    return ray.put(np.frombuffer(merged["bits"].iloc[0], np.uint8))
+
+
+def bloom_prefilter(
+    ds: rd.Dataset, col: str, bits_ref, n_bits: int = 1 << 20, k: int = 4
+) -> rd.Dataset:
+    """Map-only Bloom probe: drop rows whose key is definitely absent
+    from the set the filter was built over.  NO false negatives (every
+    true match survives); false positives pass through and MUST be
+    removed by the exact join that follows — the standard shuffle-volume
+    reducer for large⋈large joins at 100 TB (the exchange then carries
+    only probable matches).  Kept/total row counts are metrics-reported
+    (``bloom_kept`` / ``bloom_seen``)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        bits: np.ndarray = ray.get(bits_ref)
+        if not len(batch):
+            return batch
+        pos = _bloom_hashes(batch[col], n_bits, k)
+        hit = (
+            (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).all(axis=0)
+        metrics.incr("bloom_seen", len(batch))
+        metrics.incr("bloom_kept", int(hit.sum()))
+        return batch[hit.astype(bool)]
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=32768)

@@ -1474,3 +1474,29 @@ def test_leakage_safe_split_clusters_cohere(ray_session):
     solo = got[~got["doc_id"].isin(set(groups["doc_id"]))]
     cmp = solo.merge(plain, on="doc_id", suffixes=("", "_plain"))
     assert (cmp["split"] == cmp["split_plain"]).all()
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(ray_session):
+    import ray
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import bloom_prefilter, build_bloom
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(1_000_000, size=500, replace=False).astype(np.int64)
+    keys = rd.from_pandas(pd.DataFrame({"k": members}))
+    bits_ref = build_bloom(keys, "k", n_bits=1 << 16, k=4)
+
+    probe = pd.DataFrame(
+        {"k": np.arange(20_000, dtype=np.int64), "v": np.arange(20_000)}
+    )
+    kept = bloom_prefilter(
+        rd.from_pandas(probe), "k", bits_ref, n_bits=1 << 16, k=4
+    ).to_pandas()
+    member_set = set(members.tolist())
+    true_in_probe = {k for k in probe["k"].tolist() if k in member_set}
+    # no false negatives: every true member present in the probe survives
+    assert true_in_probe <= set(kept["k"].tolist())
+    # and it actually prunes: false-positive rate well under 5% at
+    # 500 keys in 65536 bits
+    assert len(kept) < len(true_in_probe) + 0.05 * len(probe)
