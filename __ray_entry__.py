@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
         "events_hourly_users": analytics.events_hourly_users,
+        "events_hourly_filled": analytics.events_hourly_filled,
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "docs_by_source_csv": analytics.docs_by_source_csv,
@@ -1350,6 +1351,23 @@ FROM (
 ) r JOIN customer USING (c_custkey)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10
+""",
+        "events_hourly_filled": """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT MIN(h) AS mn, MAX(h) AS mx FROM c
+), hrs AS (
+  SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+), t AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT t.event_type, hrs.h AS window_start,
+       COALESCE(c.n, 0) AS n_events
+FROM t CROSS JOIN hrs
+LEFT JOIN c ON c.event_type = t.event_type AND c.h = hrs.h
 """,
         "events_hourly_users": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

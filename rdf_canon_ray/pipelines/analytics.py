@@ -2332,3 +2332,56 @@ def orders_automobile_bloom(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+def events_hourly_filled(sf_dir: str) -> rd.Dataset:
+    """Gap-filled hourly counts: every (event_type, hour) cell on the
+    complete time spine between the corpus's first and last hour, with
+    0 where no events landed — the densification step dashboards and
+    forecasting features need after any windowed aggregate.  The
+    corpus-scale pass ends at the (type, hour) count table; the spine
+    cross-product (types × hours, output-scale) builds and left-fills
+    inside ONE tiny bucket.  Output: (event_type, window_start,
+    n_events)."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["ts"].dt.floor("h"),
+                "n_events": np.ones(len(batch), np.int64),
+            }
+        )
+        return (
+            t.groupby(["event_type", "window_start"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    counts = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "window_start"],
+        {"n_events": "sum"},
+        num_buckets=8,
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        spine_h = pd.date_range(
+            b["window_start"].min(), b["window_start"].max(), freq="h"
+        )
+        types = np.sort(b["event_type"].unique())
+        spine = pd.MultiIndex.from_product(
+            [types, spine_h], names=["event_type", "window_start"]
+        )
+        out = (
+            b.set_index(["event_type", "window_start"])
+            .reindex(spine, fill_value=0)
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        # date_range builds an ns-resolution spine; the events axis is µs
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    return single_bucket_merge(counts, fill)
