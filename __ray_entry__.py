@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "events_hourly_users": analytics.events_hourly_users,
         "events_hourly_filled": analytics.events_hourly_filled,
+        "source_token_entropy": analytics.source_token_entropy,
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "docs_by_source_csv": analytics.docs_by_source_csv,
@@ -1351,6 +1352,32 @@ FROM (
 ) r JOIN customer USING (c_custkey)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10
+""",
+        "source_token_entropy": """
+WITH tok AS (
+  SELECT source, UNNEST(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents
+), st AS (
+  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), ns AS (
+  SELECT source, SUM(c) AS n FROM st GROUP BY 1
+), g AS (
+  SELECT term, SUM(cg) AS cg FROM (SELECT term, c AS cg FROM st) GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS nn FROM st
+)
+SELECT st.source, CAST(ns.n AS BIGINT) AS n_tokens,
+       round_even(SUM(-(CAST(st.c AS DOUBLE) / ns.n)
+                       * ln(CAST(st.c AS DOUBLE) / ns.n)), 6) AS entropy,
+       round_even(SUM((CAST(st.c AS DOUBLE) / ns.n)
+                       * ln((CAST(st.c AS DOUBLE) / ns.n)
+                            / (CAST(g.cg AS DOUBLE) / tot.nn))), 6)
+         AS kl_vs_corpus
+FROM st
+JOIN ns ON st.source = ns.source
+JOIN g ON st.term = g.term
+CROSS JOIN tot
+GROUP BY st.source, ns.n
 """,
         "events_hourly_filled": """
 WITH c AS (

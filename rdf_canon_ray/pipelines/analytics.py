@@ -2385,3 +2385,96 @@ def events_hourly_filled(sf_dir: str) -> rd.Dataset:
         return out
 
     return single_bucket_merge(counts, fill)
+
+
+def source_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Distribution-shift metrics per source: Shannon entropy of each
+    source's token distribution and its KL divergence from the corpus
+    distribution — the curation signal for 'this slice's language is
+    drifting from the mix'.  Scale shape: one combiner-first exchange
+    to the (source, term) count table (the only corpus-scale step);
+    corpus term totals reduce from THAT table and join back
+    co-partitioned on term (vocabulary-scale, never broadcast); the
+    per-source totals and the grand total are source-cardinality /
+    scalar broadcasts.  Contribution terms −p·ln p and p·ln(p/q)
+    compute map-only and sum per source.  Output: (source, n_tokens,
+    entropy, kl_vs_corpus) rounded 6dp."""
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        e = batch.set_index("source")["text"].str.split().explode().dropna()
+        t = e.reset_index()
+        t.columns = ["source", "term"]
+        t["c"] = np.ones(len(t), np.int64)
+        return t.groupby(["source", "term"], sort=False).sum().reset_index()
+
+    st = grouped_agg(
+        docs.map_batches(tok_partial, batch_format="pandas", batch_size=2048),
+        ["source", "term"],
+        {"c": "sum"},
+        num_buckets=64,
+    ).materialize()  # referenced 3x (totals, corpus totals, join left)
+
+    ns_df = (
+        grouped_agg(
+            st.map_batches(
+                lambda b: b[["source", "c"]], batch_format="pandas"
+            ),
+            ["source"],
+            {"c": "sum"},
+            num_buckets=2,
+        )
+        .to_pandas()
+        .set_index("source")["c"]
+    )
+    n_total = float(ns_df.sum())
+    ns_ref = ray.put(ns_df)
+
+    g = grouped_agg(
+        st.map_batches(
+            lambda b: b[["term", "c"]].rename(columns={"c": "cg"}),
+            batch_format="pandas",
+        ),
+        ["term"],
+        {"cg": "sum"},
+        num_buckets=64,
+    )
+    joined = hash_join(st, g, on="term", num_buckets=64)
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        ns: pd.Series = ray.get(ns_ref)
+        n_s = ns.reindex(batch["source"].to_numpy()).to_numpy(np.float64)
+        p = batch["c"].to_numpy(np.float64) / n_s
+        q = batch["cg"].to_numpy(np.float64) / n_total
+        t = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "ent": -p * np.log(p),
+                "kl": p * np.log(p / q),
+            }
+        )
+        return t.groupby("source", sort=False).sum().reset_index()
+
+    sums = grouped_agg(
+        joined.map_batches(contrib, batch_format="pandas", batch_size=32768),
+        ["source"],
+        {"ent": "sum", "kl": "sum"},
+        num_buckets=2,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ns: pd.Series = ray.get(ns_ref)
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_tokens": ns.reindex(b["source"].to_numpy())
+                .to_numpy()
+                .astype(np.int64),
+                "entropy": np.round(b["ent"].to_numpy(), 6),
+                "kl_vs_corpus": np.round(b["kl"].to_numpy(), 6),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas", batch_size=1024)
