@@ -36,6 +36,7 @@ co-mention graph.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -51,6 +52,18 @@ from .kg import _link_batches
 DAMPING = 0.85
 TELEPORT = 0.15
 
+# Process-level singleton caches (the standing pattern for seconds-long
+# shared intermediates): every graph query in a driver run re-derives
+# the same co-mention pair table / packed adjacency from the same
+# corpus — extraction + the packing exchanges dominate each query, so
+# the MATERIALIZED intermediates are cached per (sf_dir, cap) and the
+# second query onward is iterations-only.  Object-store blocks back the
+# cached Datasets; keys are absolute paths, so distinct corpora never
+# collide.  At 100 TB the same role is played by persisting the edge
+# table next to the corpus (write once, analyze many).
+_PAIRS_CACHE: dict = {}
+_ADJ_CACHE: dict = {}
+
 
 def _conv_pairs_expanded(
     sf_dir: str, max_conv_entities: Optional[int]
@@ -58,7 +71,11 @@ def _conv_pairs_expanded(
     """(e1 < e2) co-mention pairs, deduped per conversation (one
     bucketed exchange: the conv bucket owns every mention of its
     conversations, so the global (conv, entity) dedup happens in-bucket
-    before expansion)."""
+    before expansion).  Materialized + cached per (sf_dir, cap)."""
+    key = (os.path.abspath(sf_dir), max_conv_entities)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     ments = _link_batches(sf_dir, None, "mentions")
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
@@ -86,9 +103,11 @@ def _conv_pairs_expanded(
             ].drop_duplicates()
         )
 
-    return bucketed_map_groups(
+    out = bucketed_map_groups(
         projected, ["conv_id"], expand, default_buckets()
-    )
+    ).materialize()
+    _PAIRS_CACHE[key] = out
+    return out
 
 
 def comention_edges(
@@ -109,7 +128,11 @@ def _packed_adjacency(
     node — (node, srcs list<str>, deg int64).  The dst bucket owns every
     (dst, src) row, so global edge dedup AND packing happen in the same
     single exchange; deg(node) = len(srcs) because the graph is
-    symmetric."""
+    symmetric.  Materialized + cached per (sf_dir, cap)."""
+    key = (os.path.abspath(sf_dir), max_conv_entities)
+    hit = _ADJ_CACHE.get(key)
+    if hit is not None:
+        return hit
     pairs = _conv_pairs_expanded(sf_dir, max_conv_entities)
 
     def mirror(batch: pd.DataFrame) -> pd.DataFrame:
@@ -130,7 +153,11 @@ def _packed_adjacency(
             }
         )
 
-    return bucketed_map_groups(sym, ["dst"], pack, default_buckets())
+    out = bucketed_map_groups(
+        sym, ["dst"], pack, default_buckets()
+    ).materialize()
+    _ADJ_CACHE[key] = out
+    return out
 
 
 def pagerank(
@@ -143,7 +170,7 @@ def pagerank(
     """Fixed-iteration PageRank over the co-mention graph →
     (entity_iri, rank) with rank rounded half-even to 6 dp."""
     if not force_partitioned:
-        adj = _packed_adjacency(sf_dir, max_conv_entities).materialize()
+        adj = _packed_adjacency(sf_dir, max_conv_entities)
         if adj.count() <= broadcast_threshold:
             deg_df = adj.select_columns(["node", "deg"]).to_pandas()
             return _pagerank_broadcast(adj, deg_df, iterations)
@@ -257,7 +284,7 @@ def bfs_depths(
     nodes only; the oracle replays it as a bounded recursive CTE."""
     if force_partitioned:
         return _bfs_partitioned(sf_dir, max_depth, max_conv_entities)
-    adj = _packed_adjacency(sf_dir, max_conv_entities).materialize()
+    adj = _packed_adjacency(sf_dir, max_conv_entities)
     if adj.count() > broadcast_threshold:
         return _bfs_partitioned(sf_dir, max_depth, max_conv_entities)
     deg_df = adj.select_columns(["node", "deg"]).to_pandas()
