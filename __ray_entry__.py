@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": analytics.events_hourly_users,
         "events_hourly_filled": analytics.events_hourly_filled,
         "source_token_entropy": analytics.source_token_entropy,
+        "events_ts_pruned": analytics.events_ts_pruned,
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "docs_by_source_csv": analytics.docs_by_source_csv,
@@ -1352,6 +1353,18 @@ FROM (
 ) r JOIN customer USING (c_custkey)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10
+""",
+        "events_ts_pruned": """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+), sel AS (
+  SELECT mn + CAST(FLOOR(0.25 * (mx - mn)) AS BIGINT) AS lo,
+         mn + CAST(FLOOR(0.30 * (mx - mn)) AS BIGINT) AS hi
+  FROM b
+)
+SELECT event_id, ts, value
+FROM events, sel
+WHERE epoch_us(ts) >= lo AND epoch_us(ts) < hi
 """,
         "source_token_entropy": """
 WITH tok AS (

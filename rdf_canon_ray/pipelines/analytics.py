@@ -2478,3 +2478,42 @@ def source_token_entropy(sf_dir: str) -> rd.Dataset:
         )
 
     return sums.map_batches(finish, batch_format="pandas", batch_size=1024)
+
+
+def events_ts_pruned(sf_dir: str) -> rd.Dataset:
+    """Range query through the zone-map layout (``sources.zonemap``):
+    events is exported ONCE globally sorted on ts with a per-file
+    min/max manifest (idempotent per sf_dir), then a deterministic
+    5%-of-timespan window (starting at the 25% point) reads ONLY the
+    files whose zone overlaps — storage-level data skipping, the scan
+    side of the pruning story (`read_parquet(columns=...)` prunes
+    columns; this prunes FILES along the sort axis).  An exact residual
+    filter inside the read guarantees correctness at zone edges.
+    Output: (event_id, ts, value)."""
+    import math
+
+    from ..sources import zonemap
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/rcr_cache/{tag}/events_by_ts"
+    if not os.path.isdir(path):
+        zonemap.zone_export(
+            _read(sf_dir, "events", columns=["event_id", "ts", "value"]),
+            path,
+            "ts",
+        )
+    # deterministic bounds from the SOURCE footer stats (same min/max
+    # the SQL side derives with MIN/MAX over the table)
+    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        lo_i = int(pd.Timestamp(st.min).value // 1000)
+        hi_i = int(pd.Timestamp(st.max).value // 1000)
+        mn = lo_i if mn is None else min(mn, lo_i)
+        mx = hi_i if mx is None else max(mx, hi_i)
+    span = mx - mn
+    lo = mn + math.floor(0.25 * span)
+    hi = mn + math.floor(0.30 * span)
+    return zonemap.zone_read(path, lo, hi)

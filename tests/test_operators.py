@@ -1500,3 +1500,26 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(ray_session):
     # and it actually prunes: false-positive rate well under 5% at
     # 500 keys in 65536 bits
     assert len(kept) < len(true_in_probe) + 0.05 * len(probe)
+
+
+def test_zonemap_prunes_files_and_is_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_canon_ray.sources import zonemap
+
+    df = pd.DataFrame(
+        {"k": np.arange(10_000, dtype=np.int64), "v": np.arange(10_000)}
+    )
+    path = str(tmp_path / "by_k")
+    zonemap.zone_export(
+        rd.from_pandas(df).repartition(8), path, "k"
+    )
+    files, total = zonemap.zone_select(path, 2_000, 2_500)
+    assert total >= 4  # the sorted export produced multiple zones
+    assert len(files) < total  # the manifest actually prunes
+    got = zonemap.zone_read(path, 2_000, 2_500).to_pandas()
+    exp = df[(df["k"] >= 2_000) & (df["k"] < 2_500)]
+    assert sorted(got["k"].tolist()) == exp["k"].tolist()
+    # edge exactness: empty range and full range
+    assert zonemap.zone_read(path, 5, 5).to_pandas().shape[0] == 0
+    assert zonemap.zone_read(path, 0, 10_000).to_pandas().shape[0] == 10_000
