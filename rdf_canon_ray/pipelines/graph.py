@@ -63,6 +63,29 @@ TELEPORT = 0.15
 # table next to the corpus (write once, analyze many).
 _PAIRS_CACHE: dict = {}
 _ADJ_CACHE: dict = {}
+_ENC_CACHE: dict = {}
+
+
+def _resident_graph(
+    sf_dir: str,
+    max_conv_entities: Optional[int],
+    broadcast_threshold: int,
+):
+    """(encoded adjacency, nodes, deg) for the resident-graph iteration
+    family, cached per (sf_dir, cap) — pagerank and BFS in the same
+    process share one pack + encode.  Returns None above the node gate
+    (callers fall back to their partitioned mode)."""
+    key = (os.path.abspath(sf_dir), max_conv_entities)
+    hit = _ENC_CACHE.get(key)
+    if hit is not None:
+        return hit if len(hit[1]) <= broadcast_threshold else None
+    adj = _packed_adjacency(sf_dir, max_conv_entities)
+    if adj.count() > broadcast_threshold:
+        return None
+    deg_df = adj.select_columns(["node", "deg"]).to_pandas()
+    rg = _encoded_adjacency(adj, deg_df)
+    _ENC_CACHE[key] = rg
+    return rg
 
 
 def _conv_pairs_expanded(
@@ -143,13 +166,18 @@ def _packed_adjacency(
     sym = pairs.map_batches(mirror, batch_format="pandas", batch_size=32768)
 
     def pack(bucket: pd.DataFrame) -> pd.DataFrame:
-        bucket = bucket.drop_duplicates()
-        g = bucket.groupby("dst", sort=False)["src"].agg(list)
+        # vectorized list packing: sort by dst, split the src array at
+        # group boundaries (views, no Python list-append per edge)
+        b = bucket.drop_duplicates().sort_values("dst", kind="mergesort")
+        dst = b["dst"].to_numpy()
+        src = b["src"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        ends = np.r_[starts[1:], len(dst)]
         return pd.DataFrame(
             {
-                "node": g.index.to_numpy(),
-                "srcs": g.to_numpy(),
-                "deg": np.asarray([len(s) for s in g], np.int64),
+                "node": dst[starts],
+                "srcs": np.split(src, starts[1:]),
+                "deg": (ends - starts).astype(np.int64),
             }
         )
 
@@ -170,10 +198,9 @@ def pagerank(
     """Fixed-iteration PageRank over the co-mention graph →
     (entity_iri, rank) with rank rounded half-even to 6 dp."""
     if not force_partitioned:
-        adj = _packed_adjacency(sf_dir, max_conv_entities)
-        if adj.count() <= broadcast_threshold:
-            deg_df = adj.select_columns(["node", "deg"]).to_pandas()
-            return _pagerank_broadcast(adj, deg_df, iterations)
+        rg = _resident_graph(sf_dir, max_conv_entities, broadcast_threshold)
+        if rg is not None:
+            return _pagerank_iterate(*rg, iterations)
     return _pagerank_partitioned(sf_dir, iterations, max_conv_entities)
 
 
@@ -219,6 +246,12 @@ def _pagerank_broadcast(
     """Map-only iterations over the resident packed adjacency (int-coded
     once; per-round work is numpy gather + segment sum)."""
     enc, nodes, deg = _encoded_adjacency(adj, deg_df)
+    return _pagerank_iterate(enc, nodes, deg, iterations)
+
+
+def _pagerank_iterate(
+    enc: rd.Dataset, nodes: np.ndarray, deg: np.ndarray, iterations: int
+) -> rd.Dataset:
     ranks = np.ones(len(nodes), np.float64)
 
     for _ in range(iterations):
@@ -284,15 +317,16 @@ def bfs_depths(
     nodes only; the oracle replays it as a bounded recursive CTE."""
     if force_partitioned:
         return _bfs_partitioned(sf_dir, max_depth, max_conv_entities)
-    adj = _packed_adjacency(sf_dir, max_conv_entities)
-    if adj.count() > broadcast_threshold:
+    rg = _resident_graph(sf_dir, max_conv_entities, broadcast_threshold)
+    if rg is None:
         return _bfs_partitioned(sf_dir, max_depth, max_conv_entities)
-    deg_df = adj.select_columns(["node", "deg"]).to_pandas()
-    sd = deg_df.sort_values(
-        ["deg", "node"], ascending=[False, True], kind="mergesort"
-    )
-    seed = sd["node"].iloc[0]
-    enc, nodes, _deg = _encoded_adjacency(adj, deg_df)
+    enc, nodes, deg = rg
+    # seed = max-degree node, ties → lexicographically smallest
+    seed = nodes[
+        pd.DataFrame({"n": nodes, "d": deg})
+        .sort_values(["d", "n"], ascending=[False, True], kind="mergesort")
+        .index[0]
+    ]
     depth = np.where(nodes == seed, 0.0, np.inf)
 
     for _ in range(max_depth):
