@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_filled": analytics.events_hourly_filled,
         "source_token_entropy": analytics.source_token_entropy,
         "events_ts_pruned": analytics.events_ts_pruned,
+        "events_debounced": analytics.events_debounced,
         "docs_by_source": analytics.docs_by_source,
         "docs_by_source_jsonl": analytics.docs_by_source_jsonl,
         "docs_by_source_csv": analytics.docs_by_source_csv,
@@ -1353,6 +1354,18 @@ FROM (
 ) r JOIN customer USING (c_custkey)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10
+""",
+        "events_debounced": """
+SELECT event_id FROM (
+  SELECT event_id, event_type, ts,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pt,
+         LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+WHERE pt IS NULL OR pt <> event_type
+   OR epoch_us(ts) - epoch_us(pts) > 60000000
 """,
         "events_ts_pruned": """
 WITH b AS (

@@ -2517,3 +2517,34 @@ def events_ts_pruned(sf_dir: str) -> rd.Dataset:
     lo = mn + math.floor(0.25 * span)
     hi = mn + math.floor(0.30 * span)
     return zonemap.zone_read(path, lo, hi)
+
+
+def events_debounced(sf_dir: str, window_s: int = 60) -> rd.Dataset:
+    """Stream compaction / debounce: drop an event when the SAME user's
+    previous event (in (ts, event_id) order) had the same type within
+    ``window_s`` seconds — the telemetry-cleaning step that collapses
+    double-fires before sessionization.  One user-keyed exchange; the
+    LAG comparison is a vectorized per-user shift inside the bucket
+    (same partitioning contract as running totals / sessionization).
+    Output: (event_id) of the kept events."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    gap_us = np.int64(window_s * 1_000_000)
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = b.groupby("user_id", sort=False)
+        prev_type = g["event_type"].shift(1)
+        prev_ts = g["ts"].shift(1)
+        gap = b["ts"].astype("datetime64[us]").astype(np.int64) - prev_ts.astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        keep = (
+            prev_type.isna()
+            | (prev_type != b["event_type"])
+            | (gap > gap_us)
+        )
+        return pd.DataFrame({"event_id": b.loc[keep, "event_id"].to_numpy()})
+
+    return bucketed_map_groups(ev, ["user_id"], run_bucket, num_buckets=16)
