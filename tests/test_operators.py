@@ -1523,3 +1523,67 @@ def test_zonemap_prunes_files_and_is_exact(ray_session, tmp_path):
     # edge exactness: empty range and full range
     assert zonemap.zone_read(path, 5, 5).to_pandas().shape[0] == 0
     assert zonemap.zone_read(path, 0, 10_000).to_pandas().shape[0] == 10_000
+
+
+# ---- property-based checks for the intricate pure kernels ----
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_verify_ed1_property_matches_levenshtein():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_canon_ray.stages.dedup import _verify_ed1
+
+    words = st.text(alphabet="abc", min_size=0, max_size=6)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(words, words), min_size=1, max_size=20))
+    def prop(pairs):
+        a = np.array([p[0] for p in pairs], dtype=object)
+        b = np.array([p[1] for p in pairs], dtype=object)
+        got = _verify_ed1(a, b)
+        exp = np.array(
+            [_levenshtein(x, y) == 1 for x, y in pairs], dtype=bool
+        )
+        assert got.tolist() == exp.tolist()
+
+    prop()
+
+
+def test_rolling_min_property_matches_scalar_rabin_karp():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_canon_ray.stages.text import Fingerprint, _md5_64
+
+    fp = Fingerprint(shingle=4)
+
+    def scalar(text: str) -> int:
+        k, base, mod = fp.k, fp.base, fp.mod
+        if len(text) < k:
+            return _md5_64(text)
+        best = None
+        for i in range(len(text) - k + 1):
+            h = 0
+            for ch in text[i : i + k]:
+                h = (h * base + ord(ch)) % mod
+            best = h if best is None else min(best, h)
+        return best
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def prop(text):
+        assert fp._rolling_min(text) == scalar(text)
+
+    prop()
