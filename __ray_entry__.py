@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": analytics.search_topk,
         "events_cube": analytics.events_cube,
         "orders_profile": analytics.orders_profile,
+        "documents_profile": analytics.documents_profile,
         "events_value_mad": analytics.events_value_mad,
         "normalized_text_keys": analytics.normalized_text_keys,
         "orders_automobile": analytics.orders_automobile,
@@ -1688,6 +1689,24 @@ s AS (
 )
 SELECT doc_id, round_even(score, 6) AS score
 FROM s ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "documents_profile": """
+SELECT 'doc_id' AS col, COUNT(*) AS n, COUNT(*)-COUNT(doc_id) AS n_null,
+  COUNT(DISTINCT doc_id) AS n_distinct,
+  round_even(CAST(MIN(doc_id) AS DOUBLE),6) AS min_v,
+  round_even(CAST(MAX(doc_id) AS DOUBLE),6) AS max_v,
+  round_even(SUM(CAST(doc_id AS DOUBLE))/COUNT(doc_id),6) AS mean_v
+FROM documents
+UNION ALL SELECT 'n_chars', COUNT(*), COUNT(*)-COUNT(n_chars),
+  COUNT(DISTINCT n_chars),
+  round_even(CAST(MIN(n_chars) AS DOUBLE),6),
+  round_even(CAST(MAX(n_chars) AS DOUBLE),6),
+  round_even(SUM(CAST(n_chars AS DOUBLE))/COUNT(n_chars),6)
+FROM documents
+UNION ALL SELECT 'lang', COUNT(*), COUNT(*)-COUNT(lang),
+  COUNT(DISTINCT lang), 0.0, 0.0, 0.0 FROM documents
+UNION ALL SELECT 'source', COUNT(*), COUNT(*)-COUNT(source),
+  COUNT(DISTINCT source), 0.0, 0.0, 0.0 FROM documents
 """,
         "orders_profile": """
 SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(*)-COUNT(o_orderkey) AS n_null,

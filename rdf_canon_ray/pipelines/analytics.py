@@ -2548,3 +2548,17 @@ def events_debounced(sf_dir: str, window_s: int = 60) -> rd.Dataset:
         return pd.DataFrame({"event_id": b.loc[keep, "event_id"].to_numpy()})
 
     return bucketed_map_groups(ev, ["user_id"], run_bucket, num_buckets=16)
+
+
+def documents_profile(sf_dir: str) -> rd.Dataset:
+    """Column profile of the documents table (see ``profile_columns``).
+    ``text`` is excluded: exact distinct over full document bodies is
+    the job of ``dedup_exact`` (hash-based), not a profile scan."""
+    docs = _read(
+        sf_dir, "documents", columns=["doc_id", "n_chars", "lang", "source"]
+    )
+    return profile_columns(
+        docs,
+        numeric_cols=["doc_id", "n_chars"],
+        other_cols=["lang", "source"],
+    )
