@@ -161,3 +161,33 @@ def test_csv_roundtrip_preserves_rows(ray_session, tmp_path):
     # overrides force string ids through the round trip
     typed = read_csv(out1, schema_overrides={"source": pa.string()})
     assert typed.schema().base_schema.field("source").type == pa.string()
+
+
+def test_compact_dir_preserves_rows_and_order(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rdf_canon_ray.sources.compact import compact_dir, plan_groups
+
+    src = str(tmp_path / "many")
+    df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+    rd.from_pandas(df).repartition(10).sort("k").write_parquet(src)
+    n_in = len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 4
+
+    dst = str(tmp_path / "few")
+    # target sized to force real merging but >1 output
+    sizes = sum(
+        __import__("os").path.getsize(f"{src}/{f}")
+        for f in __import__("os").listdir(src)
+        if f.endswith(".parquet")
+    )
+    stats = compact_dir(src, dst, target_bytes=sizes // 3)
+    assert stats["files_in"] == n_in
+    assert 1 < stats["files_out"] < n_in
+    assert stats["rows"] == 5000
+    # content identical and global order preserved (src was sorted)
+    got = pq.read_table(dst).to_pandas()
+    assert got["k"].tolist() == sorted(df["k"].tolist())
