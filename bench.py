@@ -132,6 +132,9 @@ def run_bench() -> dict:
         ("kg_pagerank", graph.pagerank),
         ("line_dedup", corpus.line_dedup),
         ("mix_sources", corpus.mix_sources),
+        ("orders_profile", analytics.orders_profile),
+        ("source_token_entropy", analytics.source_token_entropy),
+        ("events_debounced", analytics.events_debounced),
     ]:
         t0 = time.time()
         fn(sf_dir).count()
