@@ -26,6 +26,7 @@ import ray.data as rd
 
 from ..core import nquads as nq
 from ..core.terms import DEFAULT, IRI
+from ..state import metrics
 
 QUADS_SCHEMA = pa.schema(
     [
@@ -43,10 +44,18 @@ QUADS_SCHEMA = pa.schema(
 )
 
 
-def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _parse_batch(batch: pd.DataFrame, lenient: bool = False) -> pd.DataFrame:
     rows = {k: [] for k in QUADS_SCHEMA.names}
+    n_bad = 0
     for line in batch["text"]:
-        q = nq.parse_line(line)
+        if lenient:
+            try:
+                q = nq.parse_line(line)
+            except ValueError:
+                n_bad += 1
+                continue
+        else:
+            q = nq.parse_line(line)
         if q is None:
             continue
         s_kind, s, p, o_kind, o, o_dt, o_lang, g_kind, g = q
@@ -66,6 +75,8 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         rows["o_lang"].append(o_lang)
         rows["g_kind"].append(g_kind)
         rows["g"].append(g)
+    if n_bad:
+        metrics.incr("nquads_malformed_lines", n_bad)
     out = pd.DataFrame(rows)
     out["s_kind"] = out["s_kind"].astype("uint8")
     out["o_kind"] = out["o_kind"].astype("uint8")
@@ -73,10 +84,22 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def read_nquads(paths: str | List[str]) -> rd.Dataset:
-    """N-Quads file(s) → flat quads Dataset."""
+def _parse_batch_lenient(batch: pd.DataFrame) -> pd.DataFrame:
+    return _parse_batch(batch, lenient=True)
+
+
+def read_nquads(paths: str | List[str], lenient: bool = False) -> rd.Dataset:
+    """N-Quads file(s) → flat quads Dataset.
+
+    ``lenient=True`` is the dirty-ingest mode a web-scale crawl needs:
+    malformed statement lines are SKIPPED and counted on the metrics
+    actor (``nquads_malformed_lines``) instead of failing the read —
+    strict mode (the default, matching the reference CLI's error
+    behavior) raises on the first bad line."""
     return rd.read_text(paths).map_batches(
-        _parse_batch, batch_format="pandas", batch_size=65536
+        _parse_batch_lenient if lenient else _parse_batch,
+        batch_format="pandas",
+        batch_size=65536,
     )
 
 

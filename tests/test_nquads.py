@@ -117,3 +117,25 @@ def test_n_bnodes_counts_graph_name_bnodes():
     row = canonicalize_one("g", quads)
     assert row["n_bnodes"] == 2  # subject bnode + graph-name bnode
     assert row["status"] == "ok"
+
+
+def test_read_nquads_lenient_skips_and_counts(ray_session, tmp_path):
+    from rdf_canon_ray.sources.nquads import read_nquads
+    from rdf_canon_ray.state import metrics
+
+    p = tmp_path / "dirty.nq"
+    p.write_text(
+        '<http://e/a> <http://e/p> "x" .\n'
+        "this is not an nquads line\n"
+        '<http://e/b> <http://e/p> "y" .\n'
+        "<http://e/c> <http://e/p> MALFORMED\n"
+    )
+    before = metrics.read().get("nquads_malformed_lines", 0)
+    got = read_nquads(str(p), lenient=True).to_pandas()
+    assert len(got) == 2
+    assert metrics.read().get("nquads_malformed_lines", 0) == before + 2
+    # strict mode still fails fast on the same input
+    import pytest
+
+    with pytest.raises(Exception):
+        read_nquads(str(p)).to_pandas()
