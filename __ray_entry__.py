@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skewed_sizes": _skewed_sizes,
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_comention_edges": lambda sf: graph.comention_edges(sf),
+        "kg_comention_pmi": lambda sf: graph.comention_pmi(sf),
         "kg_pagerank": lambda sf: graph.pagerank(sf),
         "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
         "conv_stats": kg.conv_stats,
@@ -1216,6 +1217,26 @@ SELECT entity_iri, COUNT(*) AS n_mentions FROM m GROUP BY entity_iri
 WITH {part_resolved},
 {mention_m}
 SELECT e1, e2 FROM ed
+""",
+        "kg_comention_pmi": f"""
+WITH {part_resolved},
+{mention_m},
+pc AS (
+  SELECT a.entity_iri AS e1, b.entity_iri AS e2, COUNT(*) AS n12
+  FROM me a JOIN me b
+    ON a.conv_id = b.conv_id AND a.entity_iri < b.entity_iri
+  GROUP BY 1, 2
+),
+ecnt AS (SELECT entity_iri, COUNT(*) AS ne FROM me GROUP BY 1),
+nc AS (SELECT CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS n FROM me)
+SELECT pc.e1, pc.e2, CAST(pc.n12 AS BIGINT) AS n_convs,
+       round_even(ln((pc.n12 / nc.n)
+                     / ((c1.ne / nc.n) * (c2.ne / nc.n))), 6) AS pmi
+FROM pc
+JOIN ecnt c1 ON pc.e1 = c1.entity_iri
+JOIN ecnt c2 ON pc.e2 = c2.entity_iri
+CROSS JOIN nc
+WHERE pc.n12 >= 3
 """,
         "conv_stats": """
 SELECT 'conv-' || o_orderkey AS conv_id,

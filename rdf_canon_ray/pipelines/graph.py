@@ -707,3 +707,134 @@ def _pagerank_partitioned(
         )
 
     return ranks_ds.map_batches(finish, batch_format="pandas")
+
+
+def comention_pmi(
+    sf_dir: str,
+    min_convs: int = 3,
+    max_conv_entities: Optional[int] = None,
+) -> rd.Dataset:
+    """PMI-weighted co-mention edges: association strength between two
+    entities = ln((n12/N) / ((n1/N)(n2/N))) over conversation
+    co-occurrence — the weighting step that turns the raw co-mention
+    graph into a knowledge-graph edge-confidence signal (hub entities
+    co-occur with everything; PMI discounts them).
+
+    Scale shape: one conv-bucket pass owns each conversation's mention
+    set, dedups it, expands pairs and pre-counts per bucket (combiner);
+    one grouped-sum exchange yields exact pair counts; per-entity
+    conversation counts reduce the same way and attach via two
+    co-partitioned hash joins (entity-scale, never broadcast); N is one
+    tiny distinct-count.  Output: (e1, e2, n_convs ≥ ``min_convs``,
+    pmi rounded 6dp)."""
+    from ..stages.shuffle import distinct as distinct_x
+
+    ments = _link_batches(sf_dir, None, "mentions")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"], "entity_iri": batch["entity_iri"]}
+        ).drop_duplicates()
+
+    projected = ments.map_batches(
+        project, batch_format="pandas", batch_size=32768
+    ).materialize()  # feeds the pair pass, the entity pass and N
+
+    def pair_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        if max_conv_entities is not None:
+            b = (
+                b.sort_values(["conv_id", "entity_iri"])
+                .groupby("conv_id", sort=False)
+                .head(max_conv_entities)
+            )
+        m = b.merge(b, on="conv_id")
+        m = m[m["entity_iri_x"] < m["entity_iri_y"]]
+        return (
+            m.groupby(["entity_iri_x", "entity_iri_y"], sort=False)
+            .size()
+            .reset_index(name="n12")
+            .rename(columns={"entity_iri_x": "e1", "entity_iri_y": "e2"})
+        )
+
+    pc = grouped_agg(
+        bucketed_map_groups(
+            projected, ["conv_id"], pair_counts, default_buckets()
+        ),
+        ["e1", "e2"],
+        {"n12": "sum"},
+        default_buckets(),
+    )
+
+    def ent_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        return (
+            b.groupby("entity_iri", sort=False)
+            .size()
+            .reset_index(name="ne")
+        )
+
+    ec = grouped_agg(
+        bucketed_map_groups(
+            projected, ["conv_id"], ent_counts, default_buckets()
+        ),
+        ["entity_iri"],
+        {"ne": "sum"},
+        default_buckets(),
+    ).materialize()  # joined twice
+
+    n_convs = float(
+        distinct_x(
+            projected.map_batches(
+                lambda b: b[["conv_id"]], batch_format="pandas"
+            ),
+            ["conv_id"],
+            num_buckets=16,
+        ).count()
+    )
+
+    cand = pc.map_batches(
+        lambda b: b[b["n12"] >= min_convs], batch_format="pandas"
+    )
+    j1 = hash_join(
+        cand.map_batches(
+            lambda b: b.rename(columns={"e1": "entity_iri"}),
+            batch_format="pandas",
+        ),
+        ec,
+        on="entity_iri",
+        num_buckets=default_buckets(),
+    ).map_batches(
+        lambda b: b.rename(columns={"entity_iri": "e1", "ne": "n1"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1.map_batches(
+            lambda b: b.rename(columns={"e2": "entity_iri"}),
+            batch_format="pandas",
+        ),
+        ec,
+        on="entity_iri",
+        num_buckets=default_buckets(),
+    ).map_batches(
+        lambda b: b.rename(columns={"entity_iri": "e2", "ne": "n2"}),
+        batch_format="pandas",
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        n12 = b["n12"].to_numpy(np.float64)
+        n1 = b["n1"].to_numpy(np.float64)
+        n2 = b["n2"].to_numpy(np.float64)
+        pmi = np.round(
+            np.log((n12 / n_convs) / ((n1 / n_convs) * (n2 / n_convs))), 6
+        )
+        return pd.DataFrame(
+            {
+                "e1": b["e1"],
+                "e2": b["e2"],
+                "n_convs": b["n12"].astype(np.int64),
+                "pmi": pmi,
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pandas", batch_size=32768)
