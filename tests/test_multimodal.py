@@ -185,3 +185,55 @@ def test_ivf_persisted_raises_on_corrupt_index(ray_session, tmp_path):
     shutil.rmtree(os.path.join(broken2, victims[0]))
     with _pytest.raises(FileNotFoundError, match="corrupt"):
         ivf_cosine_topk_persisted(broken2, q, n_probes=16)
+
+
+def test_codec_roundtrips_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from rdf_canon_ray.stages import multimodal as mm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 12), st.integers(1, 12), st.just(3)
+            ),
+        )
+    )
+    def ppm_rt(img):
+        out = mm.decode_ppm(mm.encode_ppm(img))
+        assert out is not None and np.array_equal(out, img)
+
+    @settings(max_examples=50, deadline=None)
+    @given(arrays(np.uint8, st.integers(1, 500)))
+    def wav_rt(samples):
+        out = mm.decode_wav(mm.encode_wav(samples))
+        assert out is not None and np.array_equal(out, samples)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 6),
+                st.integers(1, 8),
+                st.integers(1, 8),
+            ),
+        )
+    )
+    def rcrv_rt(frames):
+        out = mm.decode_rcrv(mm.encode_rcrv(frames))
+        assert out is not None and np.array_equal(out, frames)
+
+    ppm_rt()
+    wav_rt()
+    rcrv_rt()
+
+    # corrupt payloads must return None (the stub-fallback contract),
+    # never raise
+    assert mm.decode_ppm(b"") is None
+    assert mm.decode_wav(b"RIFFxxxx") is None
+    assert mm.decode_rcrv(b"\x00\x01") is None
