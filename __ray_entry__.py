@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "events_hourly_users": analytics.events_hourly_users,
         "events_hourly_filled": analytics.events_hourly_filled,
+        "events_hourly_incremental": analytics.events_hourly_incremental,
         "source_token_entropy": analytics.source_token_entropy,
         "events_ts_pruned": analytics.events_ts_pruned,
         "events_debounced": analytics.events_debounced,
@@ -1451,6 +1452,13 @@ FROM events
 GROUP BY 1, 2
 """,
         "events_hourly": """
+SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY user_id, event_type, date_trunc('hour', ts)
+""",
+        # chunked-arrival state maintenance must equal the batch result
+        "events_hourly_incremental": """
 SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events

@@ -2562,3 +2562,78 @@ def documents_profile(sf_dir: str) -> rd.Dataset:
         numeric_cols=["doc_id", "n_chars"],
         other_cols=["lang", "source"],
     )
+
+
+def events_hourly_incremental(sf_dir: str, chunks: int = 4) -> rd.Dataset:
+    """Incremental materialized-view maintenance: the hourly aggregate
+    is built by processing the event stream in ``chunks`` simulated
+    ARRIVALS, each merged into a persisted parquet state (read state ∪
+    new partials → grouped re-sum → write next state) — the
+    streaming-ingest shape where yesterday's aggregate never recomputes
+    when today's shard lands.  State size is aggregate-cardinality, not
+    event-cardinality; every merge is one bounded exchange.  The final
+    state equals the batch ``events_hourly`` result exactly (same
+    oracle).  Output: (user_id, event_type, window_start, n_events,
+    sum_value rounded 6dp)."""
+    import shutil
+    import tempfile
+
+    keys = ["user_id", "event_type", "window_start"]
+    aggs = {"n_events": "sum", "sum_value": "sum"}
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "window_start": batch["ts"].dt.floor("h"),
+                "n_events": np.ones(len(batch), np.int64),
+                "sum_value": batch["value"],
+            }
+        )
+        return t.groupby(keys, sort=False).sum().reset_index()
+
+    root = tempfile.mkdtemp(prefix="rcr_hourly_inc_", dir="/tmp")
+    state: str | None = None
+    try:
+        for i in range(chunks):
+            arrival = ev.map_batches(
+                lambda b, i=i: b[b["event_id"] % chunks == i],
+                batch_format="pandas",
+                batch_size=65536,
+            )
+            partials = arrival.map_batches(
+                partial, batch_format="pandas", batch_size=65536
+            )
+            if state is None:
+                merged = grouped_agg(partials, keys, aggs, num_buckets=16)
+            else:
+                # pandas identity map: a parquet-read block must not
+                # union with pandas blocks directly (fused-exchange
+                # BlockType assertion)
+                prev = rd.read_parquet(state).map_batches(
+                    lambda b: b, batch_format="pandas"
+                )
+                merged = grouped_agg(
+                    prev.union(partials), keys, aggs, num_buckets=16
+                )
+            nxt = os.path.join(root, f"state_{i}")
+            merged.write_parquet(nxt)
+            state = nxt
+        out = (
+            rd.read_parquet(state)
+            .map_batches(
+                lambda b: b.assign(
+                    n_events=b["n_events"].astype(np.int64),
+                    sum_value=b["sum_value"].round(6),
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
