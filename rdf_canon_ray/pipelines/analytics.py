@@ -2152,11 +2152,13 @@ def profile_columns(
         frames = []
         for c in all_cols:
             u = batch[c].dropna().unique()
+            # vectorized stringification — only injectivity per column
+            # matters for distinct counting, not a canonical format
             frames.append(
                 pd.DataFrame(
                     {
                         "col": np.full(len(u), c, dtype=object),
-                        "v": np.asarray([repr(x) for x in u], dtype=object),
+                        "v": np.asarray(u).astype(str).astype(object),
                     }
                 )
             )
