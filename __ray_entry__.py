@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": analytics.search_topk,
         "events_cube": analytics.events_cube,
         "orders_profile": analytics.orders_profile,
+        "orders_price_rank": analytics.orders_price_rank,
         "documents_profile": analytics.documents_profile,
         "events_value_mad": analytics.events_value_mad,
         "normalized_text_keys": analytics.normalized_text_keys,
@@ -1718,6 +1719,19 @@ s AS (
 )
 SELECT doc_id, round_even(score, 6) AS score
 FROM s ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "orders_price_rank": """
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice, 4) AS o_totalprice, price_rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC
+         ) AS price_rank
+  FROM orders
+)
+WHERE price_rank <= 3
 """,
         "documents_profile": """
 SELECT 'doc_id' AS col, COUNT(*) AS n, COUNT(*)-COUNT(doc_id) AS n_null,

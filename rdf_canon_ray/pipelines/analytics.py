@@ -2639,3 +2639,45 @@ def events_hourly_incremental(sf_dir: str, chunks: int = 4) -> rd.Dataset:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def orders_price_rank(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-N per group WITH TIES — RANK() semantics (equal values share
+    a rank; the next rank skips), keeping rank ≤ ``k`` orders by price
+    within each priority class.  One priority-keyed exchange; the rank
+    is a vectorized dense comparison inside the bucket (ties detected
+    by value equality on the sorted column, no per-row loop).  Output:
+    (o_orderpriority, o_orderkey, o_totalprice, price_rank)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+
+    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        # RANK() = position within group − position within the tie run
+        # + 1: members of a tie run all inherit the run's first
+        # position (sorted ⇒ equal values are adjacent within a group)
+        pos = b.groupby("o_orderpriority", sort=False).cumcount().to_numpy()
+        tie_pos = (
+            b.groupby(["o_orderpriority", "o_totalprice"], sort=False)
+            .cumcount()
+            .to_numpy()
+        )
+        rank = pos - tie_pos + 1
+        out = b.assign(
+            price_rank=rank.astype(np.int64),
+            o_totalprice=b["o_totalprice"].round(4),
+        )
+        return out[out["price_rank"] <= k][
+            ["o_orderpriority", "o_orderkey", "o_totalprice", "price_rank"]
+        ]
+
+    return bucketed_map_groups(
+        orders, ["o_orderpriority"], run_bucket, num_buckets=4
+    )

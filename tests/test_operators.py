@@ -1587,3 +1587,33 @@ def test_rolling_min_property_matches_scalar_rabin_karp():
         assert fp._rolling_min(text) == scalar(text)
 
     prop()
+
+
+def test_rank_with_ties_semantics():
+    # the operator's rank kernel (pos − tie_pos + 1) on a tie-heavy
+    # frame, asserted against DuckDB's RANK() — the testdata has no
+    # exact double ties, so this pins the tie path explicitly
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "o_orderpriority": ["a"] * 5 + ["b"] * 3,
+            "o_orderkey": np.arange(8, dtype=np.int64),
+            "o_totalprice": [9.0, 9.0, 7.0, 7.0, 5.0, 4.0, 4.0, 4.0],
+        }
+    )
+    b = df.sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    pos = b.groupby("o_orderpriority", sort=False).cumcount().to_numpy()
+    tie = b.groupby(["o_orderpriority", "o_totalprice"], sort=False).cumcount().to_numpy()
+    b = b.assign(price_rank=(pos - tie + 1).astype(np.int64))
+    exp = duckdb.sql(
+        "SELECT o_orderkey, RANK() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC) r FROM df ORDER BY o_orderkey"
+    ).df()
+    got = b.sort_values("o_orderkey")["price_rank"].to_numpy()
+    assert got.tolist() == exp["r"].astype(int).tolist()
+    # ranks: a -> 1,1,3,3,5 ; b -> 1,1,1
+    assert got.tolist() == [1, 1, 3, 3, 5, 1, 1, 1]
