@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clean": corpus.dedup_clean,
         "leakage_safe_split": corpus.leakage_safe_split,
         "curate_corpus": corpus.curate_corpus,
+        "curated_split_counts": corpus.curated_split_counts,
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
@@ -1047,6 +1048,14 @@ reach(u, v) AS (
 rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u)
 SELECT dc.doc_id FROM dc
 WHERE dc.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
+    # composition of the two oracle texts above — same curated set,
+    # same cluster-coherent split keys
+    extra["curated_split_counts"] = f"""
+SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ({extra["leakage_safe_split"]}) s
+JOIN ({extra["curate_corpus"]}) c ON s.doc_id = c.doc_id
+GROUP BY s.split
 """
     extra["label_centroids"] = """
 SELECT CAST(label AS BIGINT) AS label, CAST(d.i AS BIGINT) AS dim,

@@ -1281,3 +1281,34 @@ def leakage_safe_split(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         )
 
     return joined.map_batches(assign, batch_format="pandas", batch_size=32768)
+
+
+def curated_split_counts(sf_dir: str) -> rd.Dataset:
+    """End-to-end curation capstone: how many curated documents land in
+    each leakage-safe split — the composition a real pretraining-data
+    run reports (quality gate + decontamination + near-dup clean, then
+    cluster-coherent train/val/test assignment).  Both inputs are the
+    oracle-checked operators themselves; the composition is one
+    co-partitioned join on doc_id plus a 3-row grouped count.
+    Output: (split, n_docs)."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+    from ..util import default_buckets
+
+    curated = curate_corpus(sf_dir)
+    splits = leakage_safe_split(sf_dir)
+    joined = hash_join(
+        curated, splits, on="doc_id", num_buckets=default_buckets()
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"split": b["split"], "n_docs": np.ones(len(b), np.int64)}
+        )
+
+    return grouped_agg(
+        joined.map_batches(ones, batch_format="pandas"),
+        ["split"],
+        {"n_docs": "sum"},
+        num_buckets=2,
+    )
