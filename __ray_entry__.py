@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": corpus.leakage_safe_split,
         "curate_corpus": corpus.curate_corpus,
         "curated_split_counts": corpus.curated_split_counts,
+        "containment_pairs": corpus.containment_pairs,
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
@@ -1048,6 +1049,28 @@ reach(u, v) AS (
 rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u)
 SELECT dc.doc_id FROM dc
 WHERE dc.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
+    # brute-force overlap coefficient over the same word-3 shingle sets
+    extra["containment_pairs"] = """
+WITH d AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(w) < 3
+              THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, LENGTH(w) - 2),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round_even(
+           CAST(LENGTH(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / LEAST(LENGTH(a.sh), LENGTH(b.sh)), 6) AS overlap
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, overlap FROM p WHERE overlap >= 0.8
 """
     # composition of the two oracle texts above — same curated set,
     # same cluster-coherent split keys

@@ -1312,3 +1312,15 @@ def curated_split_counts(sf_dir: str) -> rd.Dataset:
         {"n_docs": "sum"},
         num_buckets=2,
     )
+
+
+def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Overlap-coefficient (containment) near-dup pairs over word-3-gram
+    shingles — catches a short document quoted inside a long one, which
+    symmetric Jaccard (and therefore minhash-LSH blocking) misses.  See
+    ``stages.dedup.containment_pairs``."""
+    from ..util import default_buckets
+
+    return dedup.containment_pairs(
+        _docs(sf_dir), threshold=threshold, num_buckets=default_buckets()
+    )

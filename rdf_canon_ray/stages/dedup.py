@@ -1055,3 +1055,132 @@ def ed1_pairs(
     return bucketed_map_groups(
         cand, ["name_a", "name_b"], verify, num_buckets=num_buckets
     )
+
+
+def containment_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    posting_cap: int = 2000,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Overlap-coefficient near-dup pairs: |A∩B| / min(|A|, |B|) ≥
+    ``threshold`` over word-``shingle_k`` shingle sets — the asymmetric
+    copying detector (a quoted paragraph inside a much longer document
+    scores high here but LOW on Jaccard, so minhash-LSH blocking would
+    miss it).
+
+    Blocking is an EXACT shingle-hash inverted index: any pair at
+    overlap ≥ t > 0 shares ≥ 1 shingle, so grouping docs per shingle
+    hash loses nothing (hash collisions only ADD candidates; the
+    verifier is exact).  Per-shingle postings above ``posting_cap``
+    (stop-shingles) are dropped and metrics-counted
+    (``containment_postings_dropped``) — the documented approximation
+    at corpus scale; at test scale nothing caps.  Shape: shingle-hash
+    exchange → per-group pair expansion (triangular, vectorized) →
+    distinct pairs → two co-partitioned text joins → exact verify.
+    Output: (id_a, id_b, overlap rounded 6dp)."""
+    from .joins import hash_join
+    from .shuffle import bucketed_map_groups, distinct
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, ds = [], []
+        for d, t in zip(batch[id_col], batch[text_col]):
+            h = _shingle_hashes(t, shingle_k, "word")
+            hs.append(h)
+            ds.append(np.full(len(h), d, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "h": np.concatenate(hs) if hs else np.array([], np.uint64),
+                "doc_id": np.concatenate(ds) if ds else np.array([], np.int64),
+            }
+        )
+
+    postings = docs.map_batches(emit, batch_format="pandas", batch_size=1024)
+
+    def expand(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates().sort_values("h", kind="mergesort")
+        h = b["h"].to_numpy()
+        d = b["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        sizes = ends - starts
+        n_dropped = int((sizes > posting_cap).sum())
+        if n_dropped:
+            metrics.incr("containment_postings_dropped", n_dropped)
+        pa_, pb_ = [], []
+        triu_cache: dict = {}
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2 or k > posting_cap:
+                continue
+            iu = triu_cache.get(k)
+            if iu is None:
+                iu = np.triu_indices(k, 1)
+                triu_cache[k] = iu
+            grp = np.sort(d[s:e])
+            pa_.append(grp[iu[0]])
+            pb_.append(grp[iu[1]])
+        if not pa_:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(pa_), "id_b": np.concatenate(pb_)}
+        ).drop_duplicates()
+
+    cand = distinct(
+        bucketed_map_groups(postings, ["h"], expand, num_buckets),
+        ["id_a", "id_b"],
+        num_buckets,
+    )
+
+    def tag(col_from: str, col_to: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    col_to: b[id_col].to_numpy(),
+                    "text_" + col_to[-1]: b[text_col].to_numpy(dtype=object),
+                }
+            )
+
+        return fn
+
+    docs_a = docs.map_batches(tag(id_col, "id_a"), batch_format="pandas")
+    docs_b = docs.map_batches(tag(id_col, "id_b"), batch_format="pandas")
+    j = hash_join(cand, docs_a, on="id_a", num_buckets=num_buckets)
+    j = hash_join(j, docs_b, on="id_b", num_buckets=num_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy().astype(np.int64),
+                "id_b": batch["id_b"].to_numpy().astype(np.int64),
+            }
+        )
+        if len(batch) == 0:
+            out["overlap"] = pd.Series([], dtype=float)
+            return out
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = _shingle_set(text, shingle_k, "word")
+            return s
+
+        ov = []
+        for a, b, ta, tb in zip(
+            batch["id_a"], batch["id_b"], batch["text_a"], batch["text_b"]
+        ):
+            sa, sb = sh(a, ta), sh(b, tb)
+            ov.append(len(sa & sb) / min(len(sa), len(sb)))
+        out["overlap"] = np.round(ov, 6)
+        return out[out["overlap"] >= threshold]
+
+    return j.map_batches(verify, batch_format="pandas", batch_size=8192)

@@ -1617,3 +1617,29 @@ def test_rank_with_ties_semantics():
     assert got.tolist() == exp["r"].astype(int).tolist()
     # ranks: a -> 1,1,3,3,5 ; b -> 1,1,1
     assert got.tolist() == [1, 1, 3, 3, 5, 1, 1, 1]
+
+
+def test_containment_catches_quote_that_jaccard_misses(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.dedup import _shingle_set, containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"word{i}" for i in range(200))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], np.int64),
+            "text": [quote, quote + " " + filler, "totally unrelated text here"],
+        }
+    )
+    got = containment_pairs(
+        rd.from_pandas(df), threshold=0.8, num_buckets=4
+    ).to_pandas()
+    # doc1 is fully contained in doc2 → overlap ≈ 1.0 …
+    assert [(1, 2)] == list(zip(got["id_a"], got["id_b"]))
+    assert got["overlap"].iloc[0] >= 0.9
+    # … while the symmetric Jaccard of the same pair is far below 0.5
+    sa = _shingle_set(quote, 3, "word")
+    sb = _shingle_set(df["text"][1], 3, "word")
+    jac = len(sa & sb) / len(sa | sb)
+    assert jac < 0.2
