@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
         "events_hourly_users": analytics.events_hourly_users,
+        "event_type_overlap": analytics.event_type_overlap,
         "events_hourly_filled": analytics.events_hourly_filled,
         "events_hourly_incremental": analytics.events_hourly_incremental,
         "source_token_entropy": analytics.source_token_entropy,
@@ -1477,6 +1478,14 @@ SELECT t.event_type, hrs.h AS window_start,
        COALESCE(c.n, 0) AS n_events
 FROM t CROSS JOIN hrs
 LEFT JOIN c ON c.event_type = t.event_type AND c.h = hrs.h
+""",
+        "event_type_overlap": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
 """,
         "events_hourly_users": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

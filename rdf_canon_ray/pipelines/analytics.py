@@ -2681,3 +2681,38 @@ def orders_price_rank(sf_dir: str, k: int = 3) -> rd.Dataset:
     return bucketed_map_groups(
         orders, ["o_orderpriority"], run_bucket, num_buckets=4
     )
+
+
+def event_type_overlap(sf_dir: str) -> rd.Dataset:
+    """Audience-overlap matrix: for every pair of event types, the EXACT
+    number of users active in both — the co-visitation signal behind
+    segment analysis.  Per-user bucket owns the user's distinct type
+    set (≤ |types|), expands ordered pairs and pre-counts per bucket;
+    one tiny grouped sum ends the pipeline at |types|² rows.  Output:
+    (t1 < t2, n_users)."""
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    projected = ev.map_batches(project, batch_format="pandas", batch_size=65536)
+
+    def pair_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        m = b.merge(b, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+            .rename(columns={"event_type_x": "t1", "event_type_y": "t2"})
+        )
+
+    return grouped_agg(
+        bucketed_map_groups(projected, ["user_id"], pair_counts, num_buckets=16),
+        ["t1", "t2"],
+        {"n_users": "sum"},
+        num_buckets=2,
+    )
