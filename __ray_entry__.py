@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "events_hourly_users": analytics.events_hourly_users,
         "event_type_overlap": analytics.event_type_overlap,
+        "events_winsorized": analytics.events_winsorized,
         "events_hourly_filled": analytics.events_hourly_filled,
         "events_hourly_incremental": analytics.events_hourly_incremental,
         "source_token_entropy": analytics.source_token_entropy,
@@ -1478,6 +1479,17 @@ SELECT t.event_type, hrs.h AS window_start,
        COALESCE(c.n, 0) AS n_events
 FROM t CROSS JOIN hrs
 LEFT JOIN c ON c.event_type = t.event_type AND c.h = hrs.h
+""",
+        "events_winsorized": """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+       round_even(LEAST(GREATEST(e.value, q.lo), q.hi), 6) AS value_w
+FROM events e JOIN q ON e.event_type = q.event_type
 """,
         "event_type_overlap": """
 WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)

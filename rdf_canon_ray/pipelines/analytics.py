@@ -2716,3 +2716,53 @@ def event_type_overlap(sf_dir: str) -> rd.Dataset:
         {"n_users": "sum"},
         num_buckets=2,
     )
+
+
+def events_winsorized(
+    sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99
+) -> rd.Dataset:
+    """Winsorization fit-transform: clip ``value`` to the exact
+    per-type [p01, p99] band — the outlier treatment robust feature
+    pipelines apply before scaling.  FIT: one type-keyed exchange
+    computes exact ``quantile_disc`` bounds per type (values of one
+    type co-located, same contract as ``events_value_mad``); the
+    |types|-row clip table broadcasts.  TRANSFORM: map-only clip over
+    the stream.  Output: (event_id, value_w rounded 6dp)."""
+    import ray
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def fit(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in bucket.groupby("event_type", sort=False):
+            v = np.sort(sub["value"].to_numpy(np.float64))
+            n = len(v)
+            lo = v[max(int(np.ceil(lo_q * n)) - 1, 0)]
+            hi = v[max(int(np.ceil(hi_q * n)) - 1, 0)]
+            rows.append((t, lo, hi))
+        return pd.DataFrame(rows, columns=["event_type", "lo", "hi"])
+
+    clip = (
+        bucketed_map_groups(ev, ["event_type"], fit, num_buckets=4)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    clip_ref = ray.put(clip)
+
+    full = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def transform(batch: pd.DataFrame) -> pd.DataFrame:
+        c: pd.DataFrame = ray.get(clip_ref)
+        lo = c["lo"].reindex(batch["event_type"].to_numpy()).to_numpy()
+        hi = c["hi"].reindex(batch["event_type"].to_numpy()).to_numpy()
+        v = batch["value"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "value_w": np.round(np.clip(v, lo, hi), 6),
+            }
+        )
+
+    return full.map_batches(transform, batch_format="pandas", batch_size=65536)
