@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": analytics.events_hourly_users,
         "event_type_overlap": analytics.event_type_overlap,
         "events_winsorized": analytics.events_winsorized,
+        "weekly_active_users": analytics.weekly_active_users,
         "events_hourly_filled": analytics.events_hourly_filled,
         "events_hourly_incremental": analytics.events_hourly_incremental,
         "source_token_entropy": analytics.source_token_entropy,
@@ -1479,6 +1480,20 @@ SELECT t.event_type, hrs.h AS window_start,
        COALESCE(c.n, 0) AS n_events
 FROM t CROSS JOIN hrs
 LEFT JOIN c ON c.event_type = t.event_type AND c.h = hrs.h
+""",
+        "weekly_active_users": """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+), b AS (
+  SELECT MAX(d) AS mx FROM du
+), rep AS (
+  SELECT du.d + INTERVAL (i.i) DAY AS day, du.user_id
+  FROM du CROSS JOIN (SELECT UNNEST(range(0, 7)) AS i) i
+)
+SELECT rep.day, CAST(COUNT(DISTINCT rep.user_id) AS BIGINT) AS n_users
+FROM rep, b
+WHERE rep.day <= b.mx
+GROUP BY rep.day
 """,
         "events_winsorized": """
 WITH q AS (

@@ -2766,3 +2766,59 @@ def events_winsorized(
         )
 
     return full.map_batches(transform, batch_format="pandas", batch_size=65536)
+
+
+def weekly_active_users(sf_dir: str, window_days: int = 7) -> rd.Dataset:
+    """Rolling DISTINCT over time — trailing ``window_days``-day active
+    users per calendar day (the WAU metric): a user active on day d
+    counts toward days d..d+6, and each day reports the EXACT distinct
+    count of its trailing window.  Shape: batch-deduped (day, user)
+    pairs → map-only ×``window_days`` replication (shifting the day,
+    the replicate-then-aggregate trick sliding windows use) → one
+    distinct exchange on (day, user) → combiner-first count per day;
+    days beyond the corpus's last day are dropped (bounds from the
+    parquet footer, no extra scan).  Output: (day, n_users)."""
+    from ..stages.shuffle import distinct as distinct_x
+    from ..stages.shuffle import grouped_agg
+
+    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        v = pd.Timestamp(st.max)
+        mx = v if mx is None else max(mx, v)
+    max_day = mx.floor("D").to_datetime64()
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"day": batch["ts"].dt.floor("D"), "user_id": batch["user_id"]}
+        ).drop_duplicates()
+        reps = [
+            t.assign(day=t["day"] + pd.Timedelta(days=i))
+            for i in range(window_days)
+        ]
+        out = pd.concat(reps, ignore_index=True).drop_duplicates()
+        out = out[out["day"].to_numpy() <= max_day]
+        # Timedelta addition promotes to ns; the events axis is µs
+        return out.assign(day=out["day"].astype("datetime64[us]"))
+
+    du = distinct_x(
+        ev.map_batches(pairs, batch_format="pandas", batch_size=65536),
+        ["day", "user_id"],
+        num_buckets=16,
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": b["day"], "n_users": np.ones(len(b), np.int64)}
+        )
+
+    return grouped_agg(
+        du.map_batches(ones, batch_format="pandas"),
+        ["day"],
+        {"n_users": "sum"},
+        num_buckets=4,
+    )
