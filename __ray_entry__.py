@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_overlap": analytics.event_type_overlap,
         "events_winsorized": analytics.events_winsorized,
         "weekly_active_users": analytics.weekly_active_users,
+        "events_global_rownum": analytics.events_global_rownum,
         "events_hourly_filled": analytics.events_hourly_filled,
         "events_hourly_incremental": analytics.events_hourly_incremental,
         "source_token_entropy": analytics.source_token_entropy,
@@ -1480,6 +1481,11 @@ SELECT t.event_type, hrs.h AS window_start,
        COALESCE(c.n, 0) AS n_events
 FROM t CROSS JOIN hrs
 LEFT JOIN c ON c.event_type = t.event_type AND c.h = hrs.h
+""",
+        "events_global_rownum": """
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+FROM events
 """,
         "weekly_active_users": """
 WITH du AS (

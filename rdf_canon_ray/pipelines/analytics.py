@@ -2822,3 +2822,74 @@ def weekly_active_users(sf_dir: str, window_days: int = 7) -> rd.Dataset:
         {"n_users": "sum"},
         num_buckets=4,
     )
+
+
+def events_global_rownum(sf_dir: str) -> rd.Dataset:
+    """GLOBAL window function without a global sort: 1-based
+    ROW_NUMBER() over the whole event stream in (ts, event_id) order,
+    via the repo's standing two-level-offsets pattern.  The hour of
+    ``ts`` is a RANGE key (hours order exactly like timestamps), so:
+    per-batch counts per hour → tiny hour-count table prefix-sums on
+    the driver and broadcasts → one hour-keyed exchange sorts each
+    hour locally and adds its base.  Each task sorts one hour's
+    events — corpus/|hours| rows, never the stream.  Output:
+    (event_id, rn)."""
+    import ray
+
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "hb": batch["ts"].dt.floor("h"),
+            }
+        )
+
+    kd = ev.map_batches(keyed, batch_format="pandas", batch_size=65536)
+
+    counts = (
+        grouped_agg(
+            kd.map_batches(
+                lambda b: pd.DataFrame(
+                    {"hb": b["hb"], "n": np.ones(len(b), np.int64)}
+                ),
+                batch_format="pandas",
+            ),
+            ["hb"],
+            {"n": "sum"},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("hb")
+    )
+    base = (counts["n"].cumsum() - counts["n"]).to_numpy()
+    # integer epoch keys: numpy datetime64 and pd.Timestamp don't hash
+    # equal, so the broadcast dict is keyed on epoch ns
+    base_ref = ray.put(
+        {
+            int(pd.Timestamp(h).value): int(b)
+            for h, b in zip(counts["hb"], base)
+        }
+    )
+
+    def rank_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        outs = []
+        for hb, sub in bucket.groupby("hb", sort=False):
+            b = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": b["event_id"].to_numpy(),
+                        "rn": bases[int(pd.Timestamp(hb).value)]
+                        + np.arange(1, len(b) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(kd, ["hb"], rank_bucket, num_buckets=32)
