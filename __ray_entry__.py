@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": analytics.events_winsorized,
         "weekly_active_users": analytics.weekly_active_users,
         "events_global_rownum": analytics.events_global_rownum,
+        "global_value_median": analytics.global_value_median,
         "events_hourly_filled": analytics.events_hourly_filled,
         "events_hourly_incremental": analytics.events_hourly_incremental,
         "source_token_entropy": analytics.source_token_entropy,
@@ -1481,6 +1482,11 @@ SELECT t.event_type, hrs.h AS window_start,
        COALESCE(c.n, 0) AS n_events
 FROM t CROSS JOIN hrs
 LEFT JOIN c ON c.event_type = t.event_type AND c.h = hrs.h
+""",
+        "global_value_median": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       round_even(quantile_disc(value, 0.5), 6) AS median
+FROM events
 """,
         "events_global_rownum": """
 SELECT event_id,

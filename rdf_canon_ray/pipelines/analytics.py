@@ -2893,3 +2893,95 @@ def events_global_rownum(sf_dir: str) -> rd.Dataset:
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(kd, ["hb"], rank_bucket, num_buckets=32)
+
+
+def global_value_median(
+    sf_dir: str, collect_threshold: int = 100_000
+) -> rd.Dataset:
+    """EXACT global selection without a sort: the discrete median of
+    ``value`` over the whole stream (quantile_disc convention —
+    sorted[ceil(n/2)−1]) found by iterative histogram narrowing: each
+    round one map-only binned-count pass over the stream locates the
+    256th of the current range holding the target rank, until the
+    candidate range's population fits ``collect_threshold``; only then
+    do the few surviving values reach the driver for the exact pick.
+    O(log_256(spread)) full scans, never a shuffle, never a
+    corpus-scale collect — the classic distributed selection
+    algorithm.  Output: one row (n, median)."""
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def count_range(lo: float, hi: float) -> "tuple":
+        # binned counts of values in [lo, hi); values outside counted
+        # separately so ranks stay global
+        nb = 256
+        width = (hi - lo) / nb
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch["value"].to_numpy(np.float64)
+            below = int((v < lo).sum())
+            inside = v[(v >= lo) & (v < hi)]
+            bins = np.minimum(
+                ((inside - lo) / width).astype(np.int64), nb - 1
+            )
+            c = np.bincount(bins, minlength=nb)
+            row = {"below": np.int64(below), "n": np.int64(len(v))}
+            for i in range(nb):
+                row[f"b{i}"] = np.int64(c[i])
+            return pd.DataFrame([row])
+
+        agg = (
+            ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+            .map_batches(
+                lambda b: pd.DataFrame([b.sum(axis=0)]),
+                batch_format="pandas",
+                batch_size=8192,
+            )
+            .to_pandas()
+            .sum(axis=0)
+        )
+        counts = np.array([int(agg[f"b{i}"]) for i in range(nb)], np.int64)
+        return int(agg["below"]), int(agg["n"]), counts, width
+
+    # initial range from footer stats (no data pass)
+    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    idx = md.schema.to_arrow_schema().get_field_index("value")
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    lo, hi = float(mn), float(mx) + 1e-9
+
+    below, n, counts, width = count_range(lo, hi)
+    k = int(np.ceil(0.5 * n))  # 1-based global target rank
+    for _ in range(8):  # 256^8 spread — always enough
+        cum = below + np.cumsum(counts)
+        j = int(np.searchsorted(cum, k))
+        in_bin = int(counts[j])
+        new_lo = lo + j * width
+        new_hi = lo + (j + 1) * width
+        if in_bin <= collect_threshold:
+            vals = (
+                ev.map_batches(
+                    lambda b, L=new_lo, H=new_hi: b[
+                        (b["value"] >= L) & (b["value"] < H)
+                    ],
+                    batch_format="pandas",
+                    batch_size=65536,
+                )
+                .to_pandas()["value"]
+                .to_numpy(np.float64)
+            )
+            rank_in_bin = k - (below + int(np.cumsum(counts)[j]) - in_bin)
+            med = float(np.partition(vals, rank_in_bin - 1)[rank_in_bin - 1])
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "n": [np.int64(n)],
+                        "median": [np.round(med, 6)],
+                    }
+                )
+            )
+        lo, hi = new_lo, new_hi
+        below, _, counts, width = count_range(lo, hi)
+    raise RuntimeError("selection failed to narrow")  # pragma: no cover

@@ -1643,3 +1643,14 @@ def test_containment_catches_quote_that_jaccard_misses(ray_session):
     sb = _shingle_set(df["text"][1], 3, "word")
     jac = len(sa & sb) / len(sa | sb)
     assert jac < 0.2
+
+
+def test_global_median_multi_round_narrowing(ray_session):
+    from rdf_canon_ray.pipelines.analytics import global_value_median
+
+    got = global_value_median(SF, collect_threshold=10).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    v = np.sort(ev["value"].to_numpy(np.float64))
+    k = int(np.ceil(0.5 * len(v)))
+    assert got["n"].iloc[0] == len(v)
+    assert got["median"].iloc[0] == round(float(v[k - 1]), 6)
