@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": corpus.curate_corpus,
         "curated_split_counts": corpus.curated_split_counts,
         "containment_pairs": corpus.containment_pairs,
+        "corpus_diff": corpus.corpus_diff,
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
@@ -1054,6 +1055,26 @@ reach(u, v) AS (
 rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u)
 SELECT dc.doc_id FROM dc
 WHERE dc.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
+    # snapshot B derives deterministically from documents; FULL OUTER
+    # diff classifies ids
+    extra["corpus_diff"] = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h_a FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS h_b
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h_a <> b.h_b
 """
     # brute-force overlap coefficient over the same word-3 shingle sets
     extra["containment_pairs"] = """

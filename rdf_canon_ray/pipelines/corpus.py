@@ -1324,3 +1324,69 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return dedup.containment_pairs(
         _docs(sf_dir), threshold=threshold, num_buckets=default_buckets()
     )
+
+
+def corpus_diff(sf_dir: str) -> rd.Dataset:
+    """Snapshot diff / CDC classification: compare the corpus against a
+    deterministically-derived second snapshot (doc_id % 13 == 0 rows
+    deleted, % 7 == 0 texts edited, % 11 == 0 docs re-added under
+    doc_id + 1_000_000) and classify every differing id as
+    added / removed / changed — the content-hash delta an incremental
+    ingest computes between crawls.  Both sides reduce to (doc_id,
+    content_hash) before the ONE full-outer co-partitioned hash join;
+    unchanged ids never leave the join task.  Output: (doc_id,
+    status)."""
+    from ..stages.dedup import _md5_hex
+    from ..stages.joins import hash_join
+    from ..util import default_buckets
+
+    def hash_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "h_a": b["text"].map(_md5_hex),
+            }
+        )
+
+    def snapshot_b(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        keep = ids % 13 != 0
+        sub = b.loc[keep]
+        kid = sub["doc_id"].to_numpy(np.int64)
+        text = np.where(
+            kid % 7 == 0, sub["text"].to_numpy(dtype=object) + " v2",
+            sub["text"].to_numpy(dtype=object),
+        )
+        out = pd.DataFrame({"doc_id": kid, "h_b": pd.Series(text).map(_md5_hex)})
+        clones = b.loc[ids % 11 == 0]
+        extra = pd.DataFrame(
+            {
+                "doc_id": clones["doc_id"].to_numpy(np.int64) + 1_000_000,
+                "h_b": clones["text"].map(_md5_hex).to_numpy(dtype=object),
+            }
+        )
+        return pd.concat([out, extra], ignore_index=True)
+
+    a = _docs(sf_dir).map_batches(hash_a, batch_format="pandas", batch_size=8192)
+    bds = _docs(sf_dir).map_batches(
+        snapshot_b, batch_format="pandas", batch_size=8192
+    )
+    j = hash_join(a, bds, on="doc_id", how="outer", num_buckets=default_buckets())
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        ha = b["h_a"]
+        hb = b["h_b"]
+        status = np.where(
+            ha.isna(), "added",
+            np.where(hb.isna(), "removed",
+                     np.where(ha != hb, "changed", "unchanged")),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "status": status,
+            }
+        )
+        return out[out["status"] != "unchanged"]
+
+    return j.map_batches(classify, batch_format="pandas", batch_size=32768)
