@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_split_counts": corpus.curated_split_counts,
         "containment_pairs": corpus.containment_pairs,
         "corpus_diff": corpus.corpus_diff,
+        "uniform_sample": corpus.uniform_sample,
+        "lang_source_chi2": corpus.lang_source_chi2,
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
@@ -1055,6 +1057,30 @@ reach(u, v) AS (
 rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u)
 SELECT dc.doc_id FROM dc
 WHERE dc.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id < doc_id)
+"""
+    extra["uniform_sample"] = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 100
+"""
+    extra["lang_source_chi2"] = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), l AS (
+  SELECT lang, SUM(n) AS nl FROM c GROUP BY 1
+), s AS (
+  SELECT source, SUM(n) AS ns FROM c GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM c
+), g AS (
+  SELECT COALESCE(c.n, 0) AS obs, l.nl * s.ns / t.nt AS expd
+  FROM l CROSS JOIN s CROSS JOIN t
+  LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+)
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_cells,
+       round_even(SUM((obs - expd) * (obs - expd) / expd), 4) AS chi2
+FROM g
 """
     # snapshot B derives deterministically from documents; FULL OUTER
     # diff classifies ids

@@ -1390,3 +1390,80 @@ def corpus_diff(sf_dir: str) -> rd.Dataset:
         return out[out["status"] != "unchanged"]
 
     return j.map_batches(classify, batch_format="pandas", batch_size=32768)
+
+
+def uniform_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Deterministic uniform sample of ``k`` documents: the k smallest
+    ``md5(doc_id)`` values — content-stable (same sample on any
+    cluster/partitioning, reproducible in SQL), the no-RNG form of
+    uniform sampling every distributed pipeline should prefer.
+    Per-batch local top-k prunes before one tiny final merge.
+    Output: (doc_id, sample_key)."""
+    import hashlib
+
+    from ..stages.shuffle import single_bucket_merge
+
+    ids = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "sample_key": [
+                    hashlib.md5(str(d).encode()).hexdigest()
+                    for d in b["doc_id"]
+                ],
+            }
+        )
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["sample_key", "doc_id"], kind="mergesort").head(k)
+
+    pruned = ids.map_batches(keyed, batch_format="pandas", batch_size=32768).map_batches(
+        local, batch_format="pandas", batch_size=65536
+    )
+    return single_bucket_merge(pruned, local)
+
+
+def lang_source_chi2(sf_dir: str) -> rd.Dataset:
+    """Independence test over the (lang × source) contingency table:
+    the chi-square statistic Σ (observed − expected)² / expected — the
+    standard check that a corpus's language mix is consistent across
+    sources (a skewed cell flags a scraping bias).  One combiner-first
+    counting exchange ends the corpus pass at |langs|·|sources| cells;
+    marginals and the statistic compute in one tiny bucket.  Output:
+    one row (n_cells, chi2 rounded 4dp)."""
+    from ..stages.shuffle import grouped_agg, single_bucket_merge
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b.assign(n=np.ones(len(b), np.int64))
+        return t.groupby(["lang", "source"], sort=False).sum().reset_index()
+
+    cells = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["lang", "source"],
+        {"n": "sum"},
+        num_buckets=2,
+    )
+
+    def chi2(b: pd.DataFrame) -> pd.DataFrame:
+        piv = b.pivot_table(
+            index="lang", columns="source", values="n", fill_value=0
+        ).to_numpy(np.float64)
+        total = piv.sum()
+        exp = piv.sum(axis=1, keepdims=True) * piv.sum(axis=0, keepdims=True) / total
+        stat = float(((piv - exp) ** 2 / exp).sum())
+        return pd.DataFrame(
+            {
+                "n_cells": [np.int64(len(b))],
+                "chi2": [np.round(stat, 4)],
+            }
+        )
+
+    return single_bucket_merge(cells, chi2)
