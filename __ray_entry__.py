@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": lambda sf: graph.pagerank(sf),
         "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
         "conv_stats": kg.conv_stats,
+        "role_transitions": kg.role_transitions,
         "kg_triangles": lambda sf: graph.triangle_counts(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
@@ -1323,6 +1324,26 @@ JOIN ecnt c1 ON pc.e1 = c1.entity_iri
 JOIN ecnt c2 ON pc.e2 = c2.entity_iri
 CROSS JOIN nc
 WHERE pc.n12 >= 3
+""",
+        # role sequence per conv = user, assistant, tool × |lineitems|
+        "role_transitions": """
+WITH l AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+), c AS (
+  SELECT o_orderkey, COALESCE(l.cnt, 0) AS cnt
+  FROM orders LEFT JOIN l ON o_orderkey = l.l_orderkey
+)
+SELECT * FROM (
+  SELECT 'user' AS r1, 'assistant' AS r2,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions FROM c
+  UNION ALL
+  SELECT 'assistant', 'tool',
+         CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'tool', 'tool',
+         CAST(SUM(GREATEST(cnt - 1, 0)) AS BIGINT) FROM c
+)
+WHERE n_transitions > 0
 """,
         "conv_stats": """
 SELECT 'conv-' || o_orderkey AS conv_id,

@@ -654,3 +654,44 @@ def conv_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def role_transitions(sf_dir: str) -> rd.Dataset:
+    """Dialogue-structure analytics over the transcript corpus: the
+    global role-transition matrix — for every adjacent turn pair in a
+    conversation's (turn_idx, text) order, count (prev_role → role).
+    The conv bucket owns a conversation's turns (they arrive from
+    different source batches), sorts them once and shifts — the same
+    per-key ordered kernel as sessionization.  The oracle recomputes
+    the matrix from RELATIONAL ground truth (role sequence = user,
+    assistant, tool × |lineitems|), closing the transcript ↔ table
+    loop like ``conv_stats``.  Output: (r1, r2, n_transitions)."""
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+
+    ts = rd.read_parquet(
+        transcripts_parquet(sf_dir),
+        columns=["conv_id", "turn_idx", "role", "text"],
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["conv_id", "turn_idx", "text"], kind="mergesort"
+        )
+        g = b.groupby("conv_id", sort=False)
+        prev = g["role"].shift(1)
+        m = prev.notna()
+        t = pd.DataFrame(
+            {
+                "r1": prev[m].to_numpy(dtype=object),
+                "r2": b.loc[m, "role"].to_numpy(dtype=object),
+                "n_transitions": np.ones(int(m.sum()), np.int64),
+            }
+        )
+        return t.groupby(["r1", "r2"], sort=False).sum().reset_index()
+
+    return grouped_agg(
+        bucketed_map_groups(ts, ["conv_id"], per_bucket, num_buckets=16),
+        ["r1", "r2"],
+        {"n_transitions": "sum"},
+        num_buckets=2,
+    )
