@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
         "conv_stats": kg.conv_stats,
         "role_transitions": kg.role_transitions,
+        "tool_latency": kg.tool_latency,
         "kg_triangles": lambda sf: graph.triangle_counts(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)
@@ -1324,6 +1325,17 @@ JOIN ecnt c1 ON pc.e1 = c1.entity_iri
 JOIN ecnt c2 ON pc.e2 = c2.entity_iri
 CROSS JOIN nc
 WHERE pc.n12 >= 3
+""",
+        # tool ts = l_shipdate + 60·l_linenumber; assistant ts =
+        # o_orderdate + 60 s (generator ground truth)
+        "tool_latency": """
+SELECT 'conv-' || o.o_orderkey AS conv_id,
+       CAST(FLOOR((epoch_us(MIN(l.l_shipdate
+                       + INTERVAL (60 * l.l_linenumber) SECOND))
+             - epoch_us(o.o_orderdate + INTERVAL 60 SECOND))
+            / 1000000) AS BIGINT) AS latency_s
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
 """,
         # role sequence per conv = user, assistant, tool × |lineitems|
         "role_transitions": """

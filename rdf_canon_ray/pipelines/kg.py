@@ -695,3 +695,42 @@ def role_transitions(sf_dir: str) -> rd.Dataset:
         {"n_transitions": "sum"},
         num_buckets=2,
     )
+
+
+def tool_latency(sf_dir: str) -> rd.Dataset:
+    """Agent-telemetry latency: per conversation, seconds between the
+    assistant turn and the FIRST tool call (ordered by ts then
+    turn_idx) — the responsiveness metric an agent-infra dashboard
+    tracks.  One conv-keyed exchange; the per-conversation resolve is
+    a vectorized grouped min.  Conversations without tool calls are
+    absent (inner semantics).  The oracle recomputes the latency from
+    the relational ground truth the generator encodes (tool ts =
+    l_shipdate + 60·l_linenumber, assistant ts = o_orderdate + 60 s).
+    Output: (conv_id, latency_s)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ts = rd.read_parquet(
+        transcripts_parquet(sf_dir), columns=["conv_id", "role", "ts"]
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            bucket[bucket["role"] == "assistant"]
+            .groupby("conv_id", sort=False)["ts"]
+            .min()
+        )
+        t = (
+            bucket[bucket["role"] == "tool"]
+            .groupby("conv_id", sort=False)["ts"]
+            .min()
+        )
+        j = pd.concat({"a": a, "t": t}, axis=1).dropna()
+        lat = (
+            j["t"].astype("datetime64[us]").astype(np.int64)
+            - j["a"].astype("datetime64[us]").astype(np.int64)
+        ) // 1_000_000
+        return pd.DataFrame(
+            {"conv_id": j.index.to_numpy(), "latency_s": lat.to_numpy(np.int64)}
+        )
+
+    return bucketed_map_groups(ts, ["conv_id"], per_bucket, num_buckets=16)
