@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": kg.conv_stats,
         "role_transitions": kg.role_transitions,
         "tool_latency": kg.tool_latency,
+        "conv_rendered": kg.render_conversations,
         "kg_triangles": lambda sf: graph.triangle_counts(sf),
         "rdfc_hard_graphs": _hard_graphs,
         # relational / wide-op family (§2.4 aggregations, joins, sorts)

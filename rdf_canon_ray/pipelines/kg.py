@@ -734,3 +734,42 @@ def tool_latency(sf_dir: str) -> rd.Dataset:
         )
 
     return bucketed_map_groups(ts, ["conv_id"], per_bucket, num_buckets=16)
+
+
+def render_conversations(sf_dir: str) -> rd.Dataset:
+    """SFT-data rendering: assemble each conversation into one training
+    document — turns ordered by (turn_idx, text), each rendered as
+    ``role: text`` and joined with newlines.  The conv bucket owns a
+    conversation's turns; the in-bucket assembly is a vectorized
+    string-concat + per-conv join (no Python loop over turns beyond
+    the final ''.join of each conv's ≤9 pieces).  Text carries
+    newlines, so the driver compare is rows-only; byte-level equality
+    against an independent pandas rendering is pinned in pytest.
+    Output: (conv_id, text, n_turns)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ts = rd.read_parquet(
+        transcripts_parquet(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["conv_id", "turn_idx", "text"], kind="mergesort"
+        )
+        piece = b["role"].to_numpy(dtype=object) + ": " + b["text"].to_numpy(
+            dtype=object
+        )
+        g = pd.DataFrame({"conv_id": b["conv_id"].to_numpy(), "p": piece}).groupby(
+            "conv_id", sort=False
+        )["p"]
+        rendered = g.agg("\n".join)
+        counts = g.size()
+        return pd.DataFrame(
+            {
+                "conv_id": rendered.index.to_numpy(),
+                "text": rendered.to_numpy(dtype=object),
+                "n_turns": counts.to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(ts, ["conv_id"], per_bucket, num_buckets=16)

@@ -1654,3 +1654,29 @@ def test_global_median_multi_round_narrowing(ray_session):
     k = int(np.ceil(0.5 * len(v)))
     assert got["n"].iloc[0] == len(v)
     assert got["median"].iloc[0] == round(float(v[k - 1]), 6)
+
+
+def test_render_conversations_byte_equal(ray_session):
+    from rdf_canon_ray.pipelines import kg
+
+    got = (
+        kg.render_conversations(SF)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    ts = pd.read_parquet(kg.transcripts_parquet(SF))
+    exp_rows = []
+    for conv, sub in ts.groupby("conv_id"):
+        s = sub.sort_values(["turn_idx", "text"], kind="mergesort")
+        exp_rows.append(
+            (conv, "\n".join(r + ": " + t for r, t in zip(s["role"], s["text"])), len(s))
+        )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "text", "n_turns"])
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["text"].tolist() == exp["text"].tolist()  # byte equality
+    assert got["n_turns"].tolist() == exp["n_turns"].tolist()
