@@ -30,6 +30,20 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _footer_minmax(sf_dir: str, table: str, col: str):
+    """(min, max) of ``col`` from the Parquet footer row-group
+    statistics — deterministic bounds with no data pages read (the
+    same values SQL's MIN/MAX over the table derives)."""
+    md = pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet"))
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    return mn, mx
+
+
 def pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-style pricing summary over lineitem (shipdate cutoff).
     Columns named to match the oracle exactly."""
@@ -2317,7 +2331,7 @@ def orders_automobile_bloom(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pandas",
         batch_size=32768,
-    )
+    ).materialize()  # feeds both the Bloom build and the exact join
     bits_ref = build_bloom(keys, "o_custkey")
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
@@ -2506,15 +2520,9 @@ def events_ts_pruned(sf_dir: str) -> rd.Dataset:
         )
     # deterministic bounds from the SOURCE footer stats (same min/max
     # the SQL side derives with MIN/MAX over the table)
-    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
-    idx = md.schema.to_arrow_schema().get_field_index("ts")
-    mn = mx = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        lo_i = int(pd.Timestamp(st.min).value // 1000)
-        hi_i = int(pd.Timestamp(st.max).value // 1000)
-        mn = lo_i if mn is None else min(mn, lo_i)
-        mx = hi_i if mx is None else max(mx, hi_i)
+    mn_ts, mx_ts = _footer_minmax(sf_dir, "events", "ts")
+    mn = int(pd.Timestamp(mn_ts).value // 1000)
+    mx = int(pd.Timestamp(mx_ts).value // 1000)
     span = mx - mn
     lo = mn + math.floor(0.25 * span)
     hi = mn + math.floor(0.30 * span)
@@ -2781,14 +2789,8 @@ def weekly_active_users(sf_dir: str, window_days: int = 7) -> rd.Dataset:
     from ..stages.shuffle import distinct as distinct_x
     from ..stages.shuffle import grouped_agg
 
-    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
-    idx = md.schema.to_arrow_schema().get_field_index("ts")
-    mx = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        v = pd.Timestamp(st.max)
-        mx = v if mx is None else max(mx, v)
-    max_day = mx.floor("D").to_datetime64()
+    _, mx_ts = _footer_minmax(sf_dir, "events", "ts")
+    max_day = pd.Timestamp(mx_ts).floor("D").to_datetime64()
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
 
@@ -2942,15 +2944,11 @@ def global_value_median(
         counts = np.array([int(agg[f"b{i}"]) for i in range(nb)], np.int64)
         return int(agg["below"]), int(agg["n"]), counts, width
 
-    # initial range from footer stats (no data pass)
-    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
-    idx = md.schema.to_arrow_schema().get_field_index("value")
-    mn = mx = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        mn = st.min if mn is None else min(mn, st.min)
-        mx = st.max if mx is None else max(mx, st.max)
-    lo, hi = float(mn), float(mx) + 1e-9
+    # initial range from footer stats (no data pass); nextafter (not an
+    # absolute epsilon) keeps v == max strictly inside [lo, hi) at any
+    # magnitude
+    mn, mx = _footer_minmax(sf_dir, "events", "value")
+    lo, hi = float(mn), float(np.nextafter(np.float64(mx), np.inf))
 
     below, n, counts, width = count_range(lo, hi)
     k = int(np.ceil(0.5 * n))  # 1-based global target rank
@@ -2958,16 +2956,24 @@ def global_value_median(
         cum = below + np.cumsum(counts)
         j = int(np.searchsorted(cum, k))
         in_bin = int(counts[j])
-        new_lo = lo + j * width
-        new_hi = lo + (j + 1) * width
         if in_bin <= collect_threshold:
+            # collect by the SAME bin assignment the counting pass used
+            # — a range predicate on the bin edges disagrees with the
+            # floor-division binning within an ulp of an edge
+            def in_bin_j(
+                b: pd.DataFrame, L=lo, H=hi, W=width, J=j
+            ) -> pd.DataFrame:
+                v = b["value"].to_numpy(np.float64)
+                inside = (v >= L) & (v < H)
+                bins = np.minimum(
+                    ((v[inside] - L) / W).astype(np.int64), 255
+                )
+                out = b.loc[inside]
+                return out.loc[bins == J]
+
             vals = (
                 ev.map_batches(
-                    lambda b, L=new_lo, H=new_hi: b[
-                        (b["value"] >= L) & (b["value"] < H)
-                    ],
-                    batch_format="pandas",
-                    batch_size=65536,
+                    in_bin_j, batch_format="pandas", batch_size=65536
                 )
                 .to_pandas()["value"]
                 .to_numpy(np.float64)
@@ -2982,6 +2988,6 @@ def global_value_median(
                     }
                 )
             )
-        lo, hi = new_lo, new_hi
+        lo, hi = lo + j * width, lo + (j + 1) * width
         below, _, counts, width = count_range(lo, hi)
     raise RuntimeError("selection failed to narrow")  # pragma: no cover

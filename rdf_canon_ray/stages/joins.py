@@ -406,6 +406,9 @@ def build_bloom(
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         merge,
     ).to_pandas()
+    if len(merged) == 0:
+        # empty key set → all-zero filter (prunes everything), not a crash
+        return ray.put(np.zeros(nbytes, np.uint8))
     return ray.put(np.frombuffer(merged["bits"].iloc[0], np.uint8))
 
 

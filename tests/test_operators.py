@@ -1680,3 +1680,50 @@ def test_render_conversations_byte_equal(ray_session):
     assert got["conv_id"].tolist() == exp["conv_id"].tolist()
     assert got["text"].tolist() == exp["text"].tolist()  # byte equality
     assert got["n_turns"].tolist() == exp["n_turns"].tolist()
+
+
+def test_bloom_empty_keyset_prunes_everything(ray_session):
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.joins import bloom_prefilter, build_bloom
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=np.int64)}))
+    bits_ref = build_bloom(empty, "k", n_bits=1 << 12, k=4)
+    probe = rd.from_pandas(pd.DataFrame({"k": np.arange(50, dtype=np.int64)}))
+    kept = bloom_prefilter(probe, "k", bits_ref, n_bits=1 << 12, k=4).to_pandas()
+    assert len(kept) == 0
+
+
+def test_zone_read_out_of_range_keeps_schema(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_canon_ray.sources import zonemap
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "v": np.arange(100)})
+    path = str(tmp_path / "zs")
+    zonemap.zone_export(rd.from_pandas(df).repartition(4), path, "k")
+    out = zonemap.zone_read(path, 10_000, 20_000)
+    assert out.count() == 0
+    # schema-stable at the Dataset level (this Ray build's to_pandas
+    # drops columns for fully-empty datasets; schema() does not)
+    assert out.schema().names == ["k", "v"]
+    # and further Dataset ops on the empty result keep working
+    assert out.select_columns(["k"]).count() == 0
+
+
+def test_global_median_max_heavy_large_magnitude(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from rdf_canon_ray.pipelines.analytics import global_value_median
+
+    # mass at the exact column max, magnitude where an absolute 1e-9
+    # epsilon is sub-ulp — the case the nextafter fix covers
+    vals = np.array([1e7] * 5 + [1.0], np.float64)
+    pq_.write_table(
+        pa.table({"value": vals}), str(tmp_path / "events.parquet")
+    )
+    got = global_value_median(str(tmp_path)).to_pandas()
+    k = int(np.ceil(0.5 * len(vals)))
+    assert got["median"].iloc[0] == round(float(np.sort(vals)[k - 1]), 6)
+    assert got["n"].iloc[0] == len(vals)
