@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "events_hourly_users": analytics.events_hourly_users,
         "event_type_overlap": analytics.event_type_overlap,
+        "audience_setops": analytics.audience_setops,
+        "events_type_ntile": analytics.events_type_ntile,
         "events_winsorized": analytics.events_winsorized,
         "weekly_active_users": analytics.weekly_active_users,
         "events_global_rownum": analytics.events_global_rownum,
@@ -1606,6 +1608,22 @@ SELECT a.event_type AS t1, b.event_type AS t2,
 FROM ut a JOIN ut b
   ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
+""",
+        "audience_setops": """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'intersect' AS op, user_id
+FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+UNION ALL
+SELECT 'except' AS op, user_id
+FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+""",
+        "events_type_ntile": """
+SELECT event_id,
+       CAST(NTILE(4) OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+       ) AS BIGINT) AS tile
+FROM events
 """,
         "events_hourly_users": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

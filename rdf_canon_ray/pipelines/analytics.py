@@ -2991,3 +2991,81 @@ def global_value_median(
         lo, hi = lo + j * width, lo + (j + 1) * width
         below, _, counts, width = count_range(lo, hi)
     raise RuntimeError("selection failed to narrow")  # pragma: no cover
+
+
+def audience_setops(
+    sf_dir: str, t1: str = "purchase", t2: str = "error"
+) -> rd.Dataset:
+    """Distributed SET OPERATIONS on user audiences — INTERSECT (users
+    active in both ``t1`` and ``t2`` events) and EXCEPT (in ``t1`` but
+    never ``t2``) in ONE pass: batch-level dedup of (user_id, is_t1)
+    membership pairs, then a single user-keyed exchange owns each
+    user's two membership bits and classifies it.  No driver-side
+    sets; the exchange carries at most 2 rows per active user.
+    Output: (op ∈ {'intersect','except'}, user_id)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def member(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin([t1, t2])]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "is_t1": (b["event_type"] == t1).to_numpy(),
+            }
+        ).drop_duplicates()
+
+    pairs = ev.map_batches(member, batch_format="pandas", batch_size=65536)
+
+    def classify(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.drop_duplicates().groupby("user_id", sort=False)["is_t1"]
+        agg = m.agg(["max", "min", "count"])
+        in_t1 = agg["max"].to_numpy()
+        both = in_t1 & (agg["count"].to_numpy() > 1)
+        only_t1 = in_t1 & (agg["min"].to_numpy())
+        users = agg.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "op": ["intersect"] * int(both.sum())
+                + ["except"] * int(only_t1.sum()),
+                "user_id": np.concatenate([users[both], users[only_t1]]),
+            }
+        )
+
+    return bucketed_map_groups(pairs, ["user_id"], classify, num_buckets=16)
+
+
+def events_type_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """NTILE(k) window function — per-type quartile assignment over
+    ``value`` with SQL NTILE semantics (the first ``n % k`` tiles get
+    the extra row), tie-broken by event_id.  One type-keyed exchange
+    co-locates each type (same contract as ``events_winsorized``); the
+    tile index is computed vectorized from the sort position.  Output:
+    (event_id, tile 1-based)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def tiles(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in bucket.groupby("event_type", sort=False):
+            s = sub.sort_values(["value", "event_id"], kind="mergesort")
+            n = len(s)
+            pos = np.arange(n, dtype=np.int64)
+            big, rem = n // k + 1, n % k
+            in_big = pos < big * rem
+            tile = np.where(
+                in_big, pos // big, rem + (pos - big * rem) // max(n // k, 1)
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": s["event_id"].to_numpy(np.int64),
+                        "tile": tile + 1,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(ev, ["event_type"], tiles, num_buckets=4)

@@ -1727,3 +1727,55 @@ def test_global_median_max_heavy_large_magnitude(ray_session, tmp_path):
     k = int(np.ceil(0.5 * len(vals)))
     assert got["median"].iloc[0] == round(float(np.sort(vals)[k - 1]), 6)
     assert got["n"].iloc[0] == len(vals)
+
+
+def test_events_type_ntile_matches_pandas_ntile(ray_session):
+    from rdf_canon_ray.pipelines.analytics import events_type_ntile
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_type_ntile(sf, k=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    rows = []
+    for _, sub in ev.groupby("event_type"):
+        s = sub.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n, k = len(s), 4
+        big, rem = n // k + 1, n % k
+        for i in range(n):
+            tile = i // big if i < big * rem else rem + (i - big * rem) // max(n // k, 1)
+            rows.append((int(s["event_id"][i]), tile + 1))
+    exp = (
+        pd.DataFrame(rows, columns=["event_id", "tile"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["tile"].tolist() == exp["tile"].tolist()
+    # SQL NTILE invariant: per type, tile sizes differ by at most 1
+    # and are non-increasing in tile index
+    m = got.merge(ev[["event_id", "event_type"]], on="event_id")
+    for _, sub in m.groupby("event_type"):
+        sizes = sub.groupby("tile").size()
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.diff().dropna() <= 0).all()
+
+
+def test_audience_setops_matches_python_sets(ray_session):
+    from rdf_canon_ray.pipelines.analytics import audience_setops
+
+    sf = "/root/testdata/sf0.001"
+    got = audience_setops(sf, t1="purchase", t2="error").to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    a = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    b = set(ev.loc[ev["event_type"] == "error", "user_id"])
+    inter = set(got.loc[got["op"] == "intersect", "user_id"])
+    exc = set(got.loc[got["op"] == "except", "user_id"])
+    assert inter == (a & b)
+    assert exc == (a - b)
+    assert len(got) == len(inter) + len(exc)
