@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": corpus.dedup_incremental,
         # text analysis family
         "token_stats": corpus.token_stats,
+        "chunk_documents": corpus.chunk_documents,
         "quality_scores": corpus.quality_scores,
         "lang_id": corpus.lang_id,
         "fingerprints": corpus.fingerprints,
@@ -2058,6 +2059,20 @@ SELECT doc_id,
        LENGTH(regexp_extract_all(text, '[A-Za-z0-9]+(''[a-z]+)?'))
          AS n_word_tokens
 FROM documents
+""",
+        "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(0, GREATEST(len(t) - 1, 0), 24)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_idx,
+       CAST(LEAST(32, len(t) - s) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+FROM starts
 """,
         "ann_topk": """
 WITH q AS (

@@ -1467,3 +1467,42 @@ def lang_source_chi2(sf_dir: str) -> rd.Dataset:
         )
 
     return single_bucket_merge(cells, chi2)
+
+
+def chunk_documents(
+    sf_dir: str, chunk: int = 32, stride: int = 24
+) -> rd.Dataset:
+    """Sliding token-window CHUNKING — the context-preparation step
+    RAG indexing and pretraining both run before embedding/packing:
+    each document splits into whitespace-token windows of ``chunk``
+    tokens every ``stride`` tokens (consecutive chunks overlap by
+    ``chunk - stride``).  Map-only (chunking is per-document — the
+    corpus never shuffles), output scales by ~n_tokens/stride.
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text)."""
+    docs = _docs(sf_dir)
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        out_id: list = []
+        out_idx: list = []
+        out_n: list = []
+        out_text: list = []
+        for did, txt in zip(
+            batch["doc_id"].to_numpy(), batch["text"].tolist()
+        ):
+            toks = txt.split()
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                sl = toks[s : s + chunk]
+                out_id.append(did)
+                out_idx.append(ci)
+                out_n.append(len(sl))
+                out_text.append(" ".join(sl))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, np.int64),
+                "chunk_idx": np.asarray(out_idx, np.int64),
+                "n_tokens": np.asarray(out_n, np.int64),
+                "chunk_text": out_text,
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pandas", batch_size=4096)

@@ -1779,3 +1779,28 @@ def test_audience_setops_matches_python_sets(ray_session):
     assert inter == (a & b)
     assert exc == (a - b)
     assert len(got) == len(inter) + len(exc)
+
+
+def test_chunk_documents_overlap_and_reconstruction(ray_session):
+    from rdf_canon_ray.pipelines.corpus import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    chunk, stride = 32, 24
+    got = chunk_documents(sf, chunk=chunk, stride=stride).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    assert set(got["doc_id"]) == set(docs["doc_id"])
+    by_doc = dict(zip(docs["doc_id"], docs["text"]))
+    for did, sub in got.groupby("doc_id"):
+        s = sub.sort_values("chunk_idx")
+        toks = by_doc[did].split()
+        # stride-prefixes of every chunk but the last reconstruct the doc
+        parts = [c.split()[:stride] for c in s["chunk_text"][:-1]]
+        rebuilt = [t for p in parts for t in p] + s["chunk_text"].iloc[-1].split()
+        assert rebuilt == toks
+        # consecutive chunks overlap by chunk - stride tokens
+        texts = s["chunk_text"].tolist()
+        for a, b in zip(texts, texts[1:]):
+            at, bt = a.split(), b.split()
+            if len(at) == chunk:
+                assert at[stride:] == bt[: chunk - stride]
+        assert (s["n_tokens"].to_numpy() == [len(t.split()) for t in texts]).all()
