@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": corpus.media_frames,
         "media_audio_resampled": corpus.media_audio_resampled,
         "media_stats": corpus.media_stats,
+        "media_dhash": corpus.media_dhash,
         # web-text curation family
         "pii_redact": corpus.pii_redact,
         "line_dedup": corpus.line_dedup,
@@ -875,6 +876,38 @@ SELECT media_id, kind, TRUE AS decoded,
               b -> CAST(('0x' || substr(hx, 2 * b + 1, 2)) AS INT)))
             AS BIGINT) AS feature_sum
 FROM m
+"""
+    # dHash: gray(y,x) = r+g+b at the floor-grid sample (sy=(y*H)//8,
+    # sx=(x*W)//9) — exactly stages.multimodal.dhash_ppm's sampling
+    _gL = " + ".join(
+        "CAST(('0x' || substr(hx, 2 * ((hdr + 3 * ((((k // 8) * H) // 8) * W"
+        f" + (((k % 8) * W) // 9))) + {c}) + 1, 2)) AS INT)"
+        for c in range(3)
+    )
+    _gR = " + ".join(
+        "CAST(('0x' || substr(hx, 2 * ((hdr + 3 * ((((k // 8) * H) // 8) * W"
+        f" + ((((k % 8) + 1) * W) // 9))) + {c}) + 1, 2)) AS INT)"
+        for c in range(3)
+    )
+    extra["media_dhash"] = f"""
+WITH img AS (
+  SELECT media_id, width AS W, height AS H, hex(payload) AS hx,
+         9 + LENGTH(CAST(width AS VARCHAR)) + LENGTH(CAST(height AS VARCHAR))
+           AS hdr
+  FROM read_parquet('{media_pq}')
+  WHERE kind = 'image'
+), bits AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 63), k ->
+           CASE WHEN {_gL} > {_gR} THEN 1 ELSE 0 END) AS b
+  FROM img
+)
+SELECT media_id,
+       array_to_string(list_transform(generate_series(0, 15), n ->
+         substr('0123456789abcdef',
+                1 + 8 * b[4 * n + 1] + 4 * b[4 * n + 2]
+                  + 2 * b[4 * n + 3] + b[4 * n + 4], 1)), '') AS dhash
+FROM bits
 """
     extra["repetition_stats"] = """
 WITH base AS (

@@ -1506,3 +1506,12 @@ def chunk_documents(
         )
 
     return docs.map_batches(chunks, batch_format="pandas", batch_size=4096)
+
+
+def media_dhash(sf_dir: str) -> rd.Dataset:
+    """Perceptual image fingerprints (dHash) over the synthetic media
+    corpus — the multimodal analogue of text fingerprinting: decode PPM
+    → 9×8 floor-grid luminance → 64 gradient-sign bits → 16-hex-char
+    hash.  DuckDB recomputes every sampled byte from hex(payload), so
+    the full decode→sample→compare→pack chain is oracle-checked."""
+    return multimodal.image_dhash(_media_ds())

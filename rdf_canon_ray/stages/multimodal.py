@@ -486,3 +486,54 @@ def media_size_stats(ds: rd.Dataset) -> rd.Dataset:
     return grouped_agg(
         partials, ["kind"], {"total_bytes": "sum", "n": "sum"}, num_buckets=4
     )
+
+
+# --------------------------------------------------- perceptual hashing
+def dhash_ppm(img: np.ndarray) -> str:
+    """Difference hash (dHash) over a decoded image: floor-grid sample
+    a 9-wide × 8-tall luminance grid (``resize_nearest`` sampling, so
+    the exact bytes are reproducible in SQL), set bit ``8y+x`` when
+    ``gray[y,x] > gray[y,x+1]``, emit 16 lowercase hex chars (MSB-first
+    nibbles).  Integer-exact; invariant to uniform brightness shifts
+    and to any monotone rescale of the source (only gradient SIGNS
+    survive), which is what makes it a near-duplicate signal."""
+    h, w = img.shape[:2]
+    yi = (np.arange(8, dtype=np.int64) * h) // 8
+    xi = (np.arange(9, dtype=np.int64) * w) // 9
+    g = img[yi][:, xi].astype(np.int64).sum(axis=2)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).ravel()
+    vals = bits.reshape(16, 4) @ np.array([8, 4, 2, 1], np.int64)
+    return "".join("0123456789abcdef"[v] for v in vals)
+
+
+def image_dhash(ds: rd.Dataset) -> rd.Dataset:
+    """Perceptual fingerprint stage: PPM images → (media_id, dhash).
+    Non-image rows are dropped; undecodable image payloads are skipped
+    and metrics-counted (`dhash_undecodable`) rather than given a fake
+    hash — a perceptual hash of bytes that aren't pixels is noise.
+    Output: (media_id, dhash 16-hex-char)."""
+    from ..state import metrics
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        ids = batch["media_id"].to_pylist()
+        out_id, out_hash, skipped = [], [], 0
+        for i, kind in enumerate(kinds):
+            if kind != "image":
+                continue
+            img = decode_ppm(batch["payload"][i].as_py())
+            if img is None:
+                skipped += 1
+                continue
+            out_id.append(ids[i])
+            out_hash.append(dhash_ppm(img))
+        if skipped:
+            metrics.incr("dhash_undecodable", skipped)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "dhash": pa.array(out_hash, pa.string()),
+            }
+        )
+
+    return ds.map_batches(hashes, batch_format="pyarrow", batch_size=64)

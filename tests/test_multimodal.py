@@ -237,3 +237,52 @@ def test_codec_roundtrips_property():
     assert mm.decode_ppm(b"") is None
     assert mm.decode_wav(b"RIFFxxxx") is None
     assert mm.decode_rcrv(b"\x00\x01") is None
+
+
+def test_dhash_scalar_reference_and_invariances():
+    from rdf_canon_ray.stages.multimodal import dhash_ppm
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 200, (24, 31, 3)).astype(np.uint8)
+    h = dhash_ppm(img)
+    assert len(h) == 16 and set(h) <= set("0123456789abcdef")
+    # scalar reference: recompute one bit by hand
+    gy = (0 * 24) // 8
+    gxl, gxr = (0 * 31) // 9, (1 * 31) // 9
+    bit0 = int(img[gy, gxl].astype(np.int64).sum() > img[gy, gxr].astype(np.int64).sum())
+    assert (int(h[0], 16) >> 3) & 1 == bit0
+    # uniform brightness shift preserves every gradient sign
+    assert dhash_ppm(np.clip(img.astype(np.int64) + 40, 0, 255).astype(np.uint8)) == h
+    # determinism / equality of identical content at a different size is
+    # NOT expected; identical content is
+    assert dhash_ppm(img.copy()) == h
+
+
+def test_dhash_near_dup_small_hamming(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_canon_ray.stages.multimodal import encode_ppm, image_dhash
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    noisy = base.copy()
+    noisy[5, 7] = 255 - noisy[5, 7]  # flip one pixel
+    other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "kind": pa.array(["image"] * 3),
+            "payload": pa.array(
+                [encode_ppm(base), encode_ppm(noisy), encode_ppm(other)],
+                pa.binary(),
+            ),
+        }
+    )
+    got = image_dhash(rd.from_arrow(t)).to_pandas().set_index("media_id")["dhash"]
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert ham(got[0], got[1]) <= 4       # near-dup: tiny distance
+    assert ham(got[0], got[2]) >= 16      # unrelated: far apart
