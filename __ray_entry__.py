@@ -889,6 +889,13 @@ FROM m
         f" + ((((k % 8) + 1) * W) // 9))) + {c}) + 1, 2)) AS INT)"
         for c in range(3)
     )
+    # the WHERE guard keeps the oracle aligned with the engine when a
+    # payload is NOT a canonical encode_ppm product: image_dhash skips
+    # undecodable payloads (metrics-counted), so the oracle must skip
+    # them too.  Guard = exact canonical header + exact pixel length;
+    # a non-canonical-but-still-decodable PPM (comments, padding) would
+    # be hashed by the engine and excluded here — the synth corpus
+    # contains none, and the asymmetry is documented in COVERAGE.md.
     extra["media_dhash"] = f"""
 WITH img AS (
   SELECT media_id, width AS W, height AS H, hex(payload) AS hx,
@@ -896,6 +903,14 @@ WITH img AS (
            AS hdr
   FROM read_parquet('{media_pq}')
   WHERE kind = 'image'
+    AND OCTET_LENGTH(payload)
+        = 9 + LENGTH(CAST(width AS VARCHAR)) + LENGTH(CAST(height AS VARCHAR))
+          + 3 * width * height
+    AND substr(hex(payload), 1,
+               2 * (9 + LENGTH(CAST(width AS VARCHAR))
+                      + LENGTH(CAST(height AS VARCHAR))))
+        = hex('P6' || chr(10) || CAST(width AS VARCHAR) || ' '
+              || CAST(height AS VARCHAR) || chr(10) || '255' || chr(10))
 ), bits AS (
   SELECT media_id,
          list_transform(generate_series(0, 63), k ->
@@ -2093,6 +2108,9 @@ SELECT doc_id,
          AS n_word_tokens
 FROM documents
 """,
+        # a start is kept only if the PREVIOUS window (at s - stride)
+        # did not already reach end-of-doc: s = 0 OR s + (chunk -
+        # stride) < len — mirrors the engine's break-after-final-window
         "chunk_documents": """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
@@ -2106,6 +2124,7 @@ SELECT doc_id,
        CAST(LEAST(32, len(t) - s) AS BIGINT) AS n_tokens,
        array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
 FROM starts
+WHERE s = 0 OR s + 8 < len(t)
 """,
         "ann_topk": """
 WITH q AS (

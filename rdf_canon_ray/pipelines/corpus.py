@@ -1476,8 +1476,10 @@ def chunk_documents(
     RAG indexing and pretraining both run before embedding/packing:
     each document splits into whitespace-token windows of ``chunk``
     tokens every ``stride`` tokens (consecutive chunks overlap by
-    ``chunk - stride``).  Map-only (chunking is per-document — the
-    corpus never shuffles), output scales by ~n_tokens/stride.
+    ``chunk - stride``); chunking stops once a window reaches the end
+    of the document, so no chunk is fully contained in its predecessor.
+    Map-only (chunking is per-document — the corpus never shuffles),
+    output scales by ~n_tokens/stride.
     Output: (doc_id, chunk_idx, n_tokens, chunk_text)."""
     docs = _docs(sf_dir)
 
@@ -1496,6 +1498,8 @@ def chunk_documents(
                 out_idx.append(ci)
                 out_n.append(len(sl))
                 out_text.append(" ".join(sl))
+                if s + chunk >= len(toks):
+                    break
         return pd.DataFrame(
             {
                 "doc_id": np.asarray(out_id, np.int64),

@@ -494,9 +494,10 @@ def dhash_ppm(img: np.ndarray) -> str:
     a 9-wide × 8-tall luminance grid (``resize_nearest`` sampling, so
     the exact bytes are reproducible in SQL), set bit ``8y+x`` when
     ``gray[y,x] > gray[y,x+1]``, emit 16 lowercase hex chars (MSB-first
-    nibbles).  Integer-exact; invariant to uniform brightness shifts
-    and to any monotone rescale of the source (only gradient SIGNS
-    survive), which is what makes it a near-duplicate signal."""
+    nibbles).  Integer-exact; only the SIGN of each horizontal
+    luminance gradient survives, so the hash is invariant to uniform
+    brightness shifts that don't saturate uint8 (and robust, not
+    invariant, to small local edits) — the near-duplicate signal."""
     h, w = img.shape[:2]
     yi = (np.arange(8, dtype=np.int64) * h) // 8
     xi = (np.arange(9, dtype=np.int64) * w) // 9

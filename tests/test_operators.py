@@ -1804,3 +1804,9 @@ def test_chunk_documents_overlap_and_reconstruction(ray_session):
             if len(at) == chunk:
                 assert at[stride:] == bt[: chunk - stride]
         assert (s["n_tokens"].to_numpy() == [len(t.split()) for t in texts]).all()
+        # no chunk is fully contained in its predecessor: each chunk's
+        # end offset (start + n_tokens) strictly increases
+        ends = s["chunk_idx"].to_numpy() * stride + s["n_tokens"].to_numpy()
+        assert (np.diff(ends) > 0).all()
+        # the final chunk reaches end-of-doc and no start lies past it
+        assert ends[-1] == len(toks)
