@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_split_counts": corpus.curated_split_counts,
         "containment_pairs": corpus.containment_pairs,
         "corpus_diff": corpus.corpus_diff,
+        "snapshot_upsert": corpus.snapshot_upsert,
         "uniform_sample": corpus.uniform_sample,
         "lang_source_chi2": corpus.lang_source_chi2,
         "dedup_incremental": corpus.dedup_incremental,
@@ -1155,6 +1156,19 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h_a <> b.h_b
+"""
+    # MERGE INTO applied = the target snapshot (same derivation rule as
+    # corpus_diff: % 13 delete, % 7 edit, % 11 insert under id + 1e6)
+    extra["snapshot_upsert"] = """
+WITH merged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS merged_hash
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 0
+)
+SELECT doc_id, merged_hash FROM merged
 """
     # brute-force overlap coefficient over the same word-3 shingle sets
     extra["containment_pairs"] = """

@@ -1519,3 +1519,82 @@ def media_dhash(sf_dir: str) -> rd.Dataset:
     hash.  DuckDB recomputes every sampled byte from hex(payload), so
     the full decode→sample→compare→pack chain is oracle-checked."""
     return multimodal.image_dhash(_media_ds())
+
+
+def snapshot_upsert(sf_dir: str) -> rd.Dataset:
+    """Distributed MERGE INTO (CDC apply) — the write-side complement
+    of ``corpus_diff``: apply a change stream (deletes + upserts,
+    derived deterministically with the SAME rule corpus_diff uses:
+    doc_id % 13 deleted, % 7 edited, % 11 inserted under
+    doc_id + 1_000_000) onto the base corpus in ONE co-partitioned
+    full-outer hash join.  Per joined key: delete drops the row, upsert
+    wins over the base text, untouched base rows pass through — no
+    driver-side change set, both sides stream.  Output: (doc_id,
+    merged_hash) of the merged corpus (equals the target snapshot)."""
+    from ..stages.dedup import _md5_hex
+    from ..stages.joins import hash_join
+    from ..util import default_buckets
+
+    def base_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "h_base": b["text"].map(_md5_hex),
+            }
+        )
+
+    def change_stream(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        text = b["text"].to_numpy(dtype=object)
+        dels = pd.DataFrame(
+            {
+                "doc_id": ids[ids % 13 == 0],
+                "op": "d",
+                "h_new": None,
+            }
+        )
+        upd = (ids % 7 == 0) & (ids % 13 != 0)
+        ups = pd.DataFrame(
+            {
+                "doc_id": ids[upd],
+                "op": "u",
+                "h_new": [_md5_hex(t + " v2") for t in text[upd]],
+            }
+        )
+        ins_m = ids % 11 == 0
+        ins = pd.DataFrame(
+            {
+                "doc_id": ids[ins_m] + 1_000_000,
+                "op": "u",
+                "h_new": [_md5_hex(t) for t in text[ins_m]],
+            }
+        )
+        return pd.concat([dels, ups, ins], ignore_index=True)
+
+    base = _docs(sf_dir).map_batches(
+        base_hash, batch_format="pandas", batch_size=8192
+    )
+    changes = _docs(sf_dir).map_batches(
+        change_stream, batch_format="pandas", batch_size=8192
+    )
+    j = hash_join(
+        base, changes, on="doc_id", how="outer", num_buckets=default_buckets()
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        op = b["op"]
+        keep = op != "d"  # NaN (no change) and 'u' both survive
+        sub = b.loc[keep]
+        merged = np.where(
+            sub["op"] == "u",
+            sub["h_new"].to_numpy(dtype=object),
+            sub["h_base"].to_numpy(dtype=object),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "merged_hash": merged,
+            }
+        )
+
+    return j.map_batches(merge, batch_format="pandas", batch_size=32768)

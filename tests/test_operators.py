@@ -1810,3 +1810,30 @@ def test_chunk_documents_overlap_and_reconstruction(ray_session):
         assert (np.diff(ends) > 0).all()
         # the final chunk reaches end-of-doc and no start lies past it
         assert ends[-1] == len(toks)
+
+
+def test_snapshot_upsert_merge_semantics(ray_session):
+    import hashlib
+
+    from rdf_canon_ray.pipelines.corpus import snapshot_upsert
+
+    sf = "/root/testdata/sf0.001"
+    got = snapshot_upsert(sf).to_pandas().set_index("doc_id")["merged_hash"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    base = dict(zip(docs["doc_id"], docs["text"]))
+    # scalar MERGE replay: delete %13, update %7 (of survivors), insert %11
+    exp = {}
+    for did, txt in base.items():
+        if did % 13 == 0:
+            continue
+        exp[did] = md5(txt + " v2") if did % 7 == 0 else md5(txt)
+    for did, txt in base.items():
+        if did % 11 == 0:
+            exp[did + 1_000_000] = md5(txt)
+    assert dict(got) == exp
+    # MERGE invariants: no deleted id survives, every insert id present
+    assert not any(k % 13 == 0 and k < 1_000_000 for k in got.index)
+    assert {k for k in got.index if k >= 1_000_000} == {
+        k + 1_000_000 for k in base if k % 11 == 0
+    }
