@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": analytics.customers_no_urgent_orders,
         "events_value_percentile": analytics.events_value_percentile,
         "search_topk": analytics.search_topk,
+        "search_bm25": analytics.search_bm25,
         "events_cube": analytics.events_cube,
         "orders_profile": analytics.orders_profile,
         "orders_price_rank": analytics.orders_price_rank,
@@ -1957,6 +1958,41 @@ tf AS (
 s AS (
   SELECT tf.doc_id, SUM(tf.tf * ln(n.nd / q.df)) AS score
   FROM tf JOIN q ON tf.term = q.term CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round_even(score, 6) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # BM25 (Lucene idf): same deterministic query terms; the 6dp
+        # round_even absorbs summation-order and ln 1-ulp differences
+        "search_bm25": """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+p AS (SELECT DISTINCT doc_id, UNNEST(toks) AS term FROM d),
+dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 3),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(LENGTH(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+),
+dl AS (SELECT doc_id, CAST(LENGTH(toks) AS DOUBLE) AS dl FROM d),
+tf AS (
+  SELECT u.doc_id, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS term FROM d) u
+  JOIN q ON u.term = q.term
+  GROUP BY u.doc_id, u.term
+),
+s AS (
+  SELECT tf.doc_id,
+         SUM(ln((st.nd - q.df + 0.5) / (q.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         ) AS score
+  FROM tf JOIN q ON tf.term = q.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN st
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round_even(score, 6) AS score

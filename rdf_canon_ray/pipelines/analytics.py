@@ -3069,3 +3069,122 @@ def events_type_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(ev, ["event_type"], tiles, num_buckets=4)
+
+
+def search_bm25(
+    sf_dir: str,
+    n_query_terms: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """BM25 retrieval (Lucene idf variant) — the production ranking
+    function next to ``search_topk``'s plain TF-IDF:
+    score(d) = Σ_t ln((N−df+0.5)/(df+0.5)+1) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)).  Same scale shape as ``search_topk``
+    (combiner-first df exchange → broadcast query idf map → MAP-ONLY
+    scoring → tiny top-k merge) plus one extra scalar aggregate for
+    avgdl (per-batch token-count partials → one sum).  Query = the
+    ``n_query_terms`` highest-df terms (deterministic, derivable in
+    SQL).  Output: (doc_id, score rounded 6dp)."""
+    from ..util import default_pool
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def tok_count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_tok": [int(batch["text"].str.split().str.len().sum())]}
+        )
+
+    total_tokens = (
+        docs.map_batches(tok_count, batch_format="pandas", batch_size=2048)
+        .sum("n_tok")
+    )
+    avgdl = float(total_tokens) / n_docs
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = batch.set_index("doc_id")["text"].str.split().explode()
+        t = pairs.reset_index()
+        t.columns = ["doc_id", "term"]
+        t = t.drop_duplicates()
+        vc = t["term"].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "df": vc.to_numpy(np.int64)}
+        )
+
+    dfs = grouped_agg(
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"df": "sum"},
+        num_buckets=32,
+    )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(n_query_terms)
+
+    qterms = single_bucket_merge(
+        dfs.map_batches(local_top, batch_format="pandas"), local_top
+    ).to_pandas()
+    idf = {
+        t: np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in zip(qterms["term"], qterms["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    class Scorer:
+        def __init__(self, ref):
+            self.idf = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            tok_lists = batch["text"].str.split()
+            dl = pd.Series(
+                tok_lists.str.len().to_numpy(np.float64),
+                index=batch["doc_id"].to_numpy(),
+            )
+            toks = pd.Series(
+                tok_lists.to_numpy(), index=batch["doc_id"].to_numpy()
+            ).explode()
+            hit = toks[toks.isin(self.idf)]
+            if len(hit) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+                        "score": pd.Series([], dtype=np.float64),
+                    }
+                )
+            g = hit.reset_index()
+            g.columns = ["doc_id", "term"]
+            c = g.groupby(["doc_id", "term"], sort=False).size().reset_index(
+                name="tf"
+            )
+            tf = c["tf"].to_numpy(np.float64)
+            norm = c["doc_id"].map(dl).to_numpy(np.float64) / avgdl
+            c["w"] = (
+                c["term"].map(self.idf).to_numpy(np.float64)
+                * tf
+                * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * norm))
+            )
+            s = c.groupby("doc_id", sort=False)["w"].sum().reset_index()
+            s["score"] = np.round(s["w"].to_numpy(np.float64), 6)
+            return s[["doc_id", "score"]].sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+
+    scored = docs.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"ref": idf_ref},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=default_pool(cap=8),
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return single_bucket_merge(scored, final)

@@ -1837,3 +1837,41 @@ def test_snapshot_upsert_merge_semantics(ray_session):
     assert {k for k in got.index if k >= 1_000_000} == {
         k + 1_000_000 for k in base if k % 11 == 0
     }
+
+
+def test_search_bm25_matches_scalar_reference(ray_session):
+    from collections import Counter
+
+    from rdf_canon_ray.pipelines.analytics import search_bm25
+
+    sf = "/root/testdata/sf0.001"
+    k1, b = 1.2, 0.75
+    got = search_bm25(sf, k=10, k1=k1, b=b).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {d: t.split() for d, t in zip(docs["doc_id"], docs["text"])}
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    qterms = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    scores = {}
+    for did, t in toks.items():
+        tf = Counter(w for w in t if w in dict(qterms))
+        s = 0.0
+        for term, d in qterms:
+            f = tf.get(term, 0)
+            if f:
+                idf = np.log((n - d + 0.5) / (d + 0.5) + 1.0)
+                s += idf * f * (k1 + 1.0) / (
+                    f + k1 * (1.0 - b + b * len(t) / avgdl)
+                )
+        if s > 0:
+            scores[did] = round(s, 6)
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["doc_id"], got["score"])) == exp
+    # BM25 sanity: tf saturation means score < idf * (k1 + 1) per term
+    max_possible = sum(
+        np.log((n - d + 0.5) / (d + 0.5) + 1.0) * (k1 + 1.0) for _, d in qterms
+    )
+    assert (got["score"] < max_possible).all()
