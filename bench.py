@@ -135,6 +135,8 @@ def run_bench() -> dict:
         ("orders_profile", analytics.orders_profile),
         ("source_token_entropy", analytics.source_token_entropy),
         ("events_debounced", analytics.events_debounced),
+        ("chunk_documents", corpus.chunk_documents),
+        ("search_bm25", analytics.search_bm25),
     ]:
         t0 = time.time()
         fn(sf_dir).count()
