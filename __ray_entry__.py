@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentile": analytics.events_value_percentile,
         "search_topk": analytics.search_topk,
         "search_bm25": analytics.search_bm25,
+        "doc_unigram_xent": analytics.doc_unigram_xent,
         "events_cube": analytics.events_cube,
         "orders_profile": analytics.orders_profile,
         "orders_price_rank": analytics.orders_price_rank,
@@ -1997,6 +1998,23 @@ s AS (
 )
 SELECT doc_id, round_even(score, 6) AS score
 FROM s ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "doc_unigram_xent": """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+u AS (SELECT doc_id, UNNEST(toks) AS term FROM d),
+c AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM u GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM u),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM u GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(LENGTH(toks) AS DOUBLE) AS dl FROM d)
+SELECT tf.doc_id,
+       round_even(SUM(tf.tf * -ln(c.c / tot.total)) / ANY_VALUE(dl.dl), 6)
+         AS xent
+FROM tf JOIN c USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+GROUP BY tf.doc_id
 """,
         "orders_price_rank": """
 SELECT o_orderpriority, o_orderkey,

@@ -3188,3 +3188,83 @@ def search_bm25(
         ).head(k)
 
     return single_bucket_merge(scored, final)
+
+
+def doc_unigram_xent(sf_dir: str) -> rd.Dataset:
+    """Per-document unigram-LM cross-entropy — the perplexity-filter
+    signal pretraining curation pipelines compute per document (here
+    the LM is the corpus's own unigram distribution, so no external
+    model): xent(d) = (1/|d|) Σ_t tf(t,d) · −ln(count(t)/total).
+    Scale shape: term counts reduce through one combiner-first exchange
+    (the vocabulary is NEVER broadcast); per-doc (doc_id, term, tf, dl)
+    partials join the count table CO-PARTITIONED on term (partitioned
+    hash join, both sides stream); contributions re-aggregate per doc
+    in a second exchange.  Output: (doc_id, xent rounded 6dp)."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_map_groups
+    from ..util import default_buckets
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split().explode()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "c": vc.to_numpy(np.int64)}
+        )
+
+    counts = grouped_agg(
+        docs.map_batches(term_partial, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"c": "sum"},
+        num_buckets=32,
+    )
+    total = float(counts.sum("c"))
+
+    def tf_table(batch: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = batch["text"].str.split()
+        dl = pd.Series(
+            tok_lists.str.len().to_numpy(np.float64),
+            index=batch["doc_id"].to_numpy(),
+        )
+        toks = pd.Series(
+            tok_lists.to_numpy(), index=batch["doc_id"].to_numpy()
+        ).explode()
+        g = toks.reset_index()
+        g.columns = ["doc_id", "term"]
+        c = g.groupby(["doc_id", "term"], sort=False).size().reset_index(
+            name="tf"
+        )
+        c["dl"] = c["doc_id"].map(dl).to_numpy(np.float64)
+        return c
+
+    tf = docs.map_batches(tf_table, batch_format="pandas", batch_size=2048)
+    joined = hash_join(tf, counts, on="term", num_buckets=default_buckets())
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "num": batch["tf"].to_numpy(np.float64)
+                * -np.log(batch["c"].to_numpy(np.float64) / total),
+                "dl": batch["dl"].to_numpy(np.float64),
+            }
+        )
+
+    parts = joined.map_batches(contrib, batch_format="pandas", batch_size=32768)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("doc_id", sort=False).agg(
+            num=("num", "sum"), dl=("dl", "max")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.to_numpy(np.int64),
+                "xent": np.round(
+                    g["num"].to_numpy(np.float64) / g["dl"].to_numpy(np.float64),
+                    6,
+                ),
+            }
+        )
+
+    return bucketed_map_groups(parts, ["doc_id"], per_doc, num_buckets=16)

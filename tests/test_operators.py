@@ -1875,3 +1875,24 @@ def test_search_bm25_matches_scalar_reference(ray_session):
         np.log((n - d + 0.5) / (d + 0.5) + 1.0) * (k1 + 1.0) for _, d in qterms
     )
     assert (got["score"] < max_possible).all()
+
+
+def test_doc_unigram_xent_matches_scalar_lm(ray_session):
+    from collections import Counter
+
+    from rdf_canon_ray.pipelines.analytics import doc_unigram_xent
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_unigram_xent(sf).to_pandas().set_index("doc_id")["xent"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {d: t.split() for d, t in zip(docs["doc_id"], docs["text"])}
+    counts = Counter(w for t in toks.values() for w in t)
+    total = float(sum(counts.values()))
+    for did, t in toks.items():
+        xent = sum(-np.log(counts[w] / total) for w in t) / len(t)
+        assert got[did] == round(xent, 6), did
+    # information-theoretic floor: mean xent >= distribution entropy is
+    # not guaranteed per-doc, but every xent is positive and bounded by
+    # the rarest token's surprisal
+    assert (got > 0).all()
+    assert got.max() <= -np.log(1.0 / total) + 1e-9
