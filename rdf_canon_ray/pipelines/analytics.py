@@ -1900,6 +1900,53 @@ def inverted_index(sf_dir: str, max_postings: int = 10000) -> rd.Dataset:
     return bucketed_map_groups(pairs, ["term"], build, num_buckets=32)
 
 
+def _query_df_terms(docs: rd.Dataset, n_query_terms: int) -> pd.DataFrame:
+    """Shared retrieval scaffolding (search_topk / search_bm25): exact
+    document frequencies via a combiner-first exchange (a doc lives
+    wholly in one batch row, so per-batch distinct-doc counts are exact
+    partials), then the ``n_query_terms`` highest-df terms — the
+    deterministic, SQL-derivable query — through per-bucket top-k
+    pruning and one tiny merge.  Returns a (term, df) DataFrame."""
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = batch.set_index("doc_id")["text"].str.split().explode()
+        t = pairs.reset_index()
+        t.columns = ["doc_id", "term"]
+        t = t.drop_duplicates()
+        vc = t["term"].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "df": vc.to_numpy(np.int64)}
+        )
+
+    dfs = grouped_agg(
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"df": "sum"},
+        num_buckets=32,
+    )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(n_query_terms)
+
+    return single_bucket_merge(
+        dfs.map_batches(local_top, batch_format="pandas"), local_top
+    ).to_pandas()
+
+
+def _topk_score_merge(scored: rd.Dataset, k: int) -> rd.Dataset:
+    """Final retrieval top-k: merge the per-batch ≤k candidates in one
+    tiny bucket, ordered (score desc, doc_id asc)."""
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return single_bucket_merge(scored, final)
+
+
 def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
     """Retrieval query over the corpus: score every document against a
     query by TF-IDF (score = Σ_t tf(t,d)·ln(N/df(t))) and return the
@@ -1914,34 +1961,7 @@ def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = float(docs.count())
 
-    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        pairs = batch.set_index("doc_id")["text"].str.split().explode()
-        t = pairs.reset_index()
-        t.columns = ["doc_id", "term"]
-        t = t.drop_duplicates()
-        vc = t["term"].value_counts()
-        return pd.DataFrame(
-            {"term": vc.index.to_numpy(dtype=object), "df": vc.to_numpy(np.int64)}
-        )
-
-    # batch-level partials are upper bounds per batch; exact df needs the
-    # distinct (doc, term) exchange — but a doc lives wholly in one batch
-    # row, so per-batch distinct-doc counts ARE exact partials.
-    dfs = grouped_agg(
-        docs.map_batches(df_partial, batch_format="pandas", batch_size=2048),
-        ["term"],
-        {"df": "sum"},
-        num_buckets=32,
-    )
-
-    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(
-            ["df", "term"], ascending=[False, True], kind="mergesort"
-        ).head(n_query_terms)
-
-    qterms = single_bucket_merge(
-        dfs.map_batches(local_top, batch_format="pandas"), local_top
-    ).to_pandas()
+    qterms = _query_df_terms(docs, n_query_terms)
     idf = {
         t: np.log(n_docs / d) for t, d in zip(qterms["term"], qterms["df"])
     }
@@ -1984,12 +2004,7 @@ def search_topk(sf_dir: str, n_query_terms: int = 3, k: int = 10) -> rd.Dataset:
         concurrency=default_pool(cap=8),
     )
 
-    def final(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket.sort_values(
-            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-
-    return single_bucket_merge(scored, final)
+    return _topk_score_merge(scored, k)
 
 
 def _source_term_pairs(sf_dir: str, batch_size: int = 2048) -> rd.Dataset:
@@ -3103,31 +3118,7 @@ def search_bm25(
     )
     avgdl = float(total_tokens) / n_docs
 
-    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        pairs = batch.set_index("doc_id")["text"].str.split().explode()
-        t = pairs.reset_index()
-        t.columns = ["doc_id", "term"]
-        t = t.drop_duplicates()
-        vc = t["term"].value_counts()
-        return pd.DataFrame(
-            {"term": vc.index.to_numpy(dtype=object), "df": vc.to_numpy(np.int64)}
-        )
-
-    dfs = grouped_agg(
-        docs.map_batches(df_partial, batch_format="pandas", batch_size=2048),
-        ["term"],
-        {"df": "sum"},
-        num_buckets=32,
-    )
-
-    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(
-            ["df", "term"], ascending=[False, True], kind="mergesort"
-        ).head(n_query_terms)
-
-    qterms = single_bucket_merge(
-        dfs.map_batches(local_top, batch_format="pandas"), local_top
-    ).to_pandas()
+    qterms = _query_df_terms(docs, n_query_terms)
     idf = {
         t: np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
         for t, d in zip(qterms["term"], qterms["df"])
@@ -3182,12 +3173,7 @@ def search_bm25(
         concurrency=default_pool(cap=8),
     )
 
-    def final(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket.sort_values(
-            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-
-    return single_bucket_merge(scored, final)
+    return _topk_score_merge(scored, k)
 
 
 def doc_unigram_xent(sf_dir: str) -> rd.Dataset:
@@ -3213,12 +3199,15 @@ def doc_unigram_xent(sf_dir: str) -> rd.Dataset:
             {"term": vc.index.to_numpy(dtype=object), "c": vc.to_numpy(np.int64)}
         )
 
+    # materialize: `counts` feeds BOTH the total sum and the join —
+    # each reference re-executes the corpus scan otherwise (see the
+    # shared-aggregate rule; it's vocab-scale, cheap to pin)
     counts = grouped_agg(
         docs.map_batches(term_partial, batch_format="pandas", batch_size=2048),
         ["term"],
         {"c": "sum"},
         num_buckets=32,
-    )
+    ).materialize()
     total = float(counts.sum("c"))
 
     def tf_table(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1545,6 +1545,14 @@ def snapshot_upsert(sf_dir: str) -> rd.Dataset:
 
     def change_stream(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(np.int64)
+        # insert ids live at doc_id + 1_000_000; a base id in that range
+        # would collide with an insert and silently diverge from the
+        # oracle's UNION ALL interpretation — refuse instead
+        if len(ids) and int(ids.max()) >= 1_000_000:
+            raise ValueError(
+                "snapshot_upsert: base doc_id >= 1_000_000 collides with "
+                "the derived insert-id range"
+            )
         text = b["text"].to_numpy(dtype=object)
         dels = pd.DataFrame(
             {
