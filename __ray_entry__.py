@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source_csv": analytics.docs_by_source_csv,
         "orders_by_nation": analytics.orders_by_nation,
         "local_supplier_volume": analytics.local_supplier_volume,
+        "shipping_priority": analytics.shipping_priority,
         "events_prev": analytics.events_prev,
         "events_running_total": analytics.events_running_total,
         "events_moving_avg": analytics.events_moving_avg,
@@ -1734,6 +1735,20 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "shipping_priority": """
+SELECT l_orderkey,
+       round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
 """,
         "local_supplier_volume": """
 SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -3257,3 +3257,106 @@ def doc_unigram_xent(sf_dir: str) -> rd.Dataset:
         )
 
     return bucketed_map_groups(parts, ["doc_id"], per_doc, num_buckets=16)
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> rd.Dataset:
+    """TPC-H Q3-shaped query: top-k unshipped orders by revenue for one
+    market segment — the second canonical multi-join benchmark shape
+    next to Q5 (``local_supplier_volume``).  Scale-first composition:
+    both date filters drop rows AT THE SCAN; the segment customer list
+    joins orders co-partitioned on custkey (customer is corpus-scale at
+    100 TB — no broadcast); lineitem revenue pre-aggregates per batch
+    BEFORE its orderkey-partitioned join; the grouped sum completes
+    in-bucket (orderkey-keyed) with per-bucket top-k pruning before one
+    tiny merge.  Output: (l_orderkey, revenue 4dp, o_orderdate)."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    d = pd.Timestamp(cutoff)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.loc[b["o_orderdate"] < d].rename(
+            columns={"o_custkey": "c_custkey"}
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    customer = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == segment, ["c_custkey"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    ord_f = hash_join(orders, customer, on="c_custkey", num_buckets=16)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.loc[b["l_shipdate"] > d]
+        rev = s["l_extendedprice"].to_numpy(np.float64) * (
+            1.0 - s["l_discount"].to_numpy(np.float64)
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "l_orderkey": s["l_orderkey"].to_numpy(np.int64),
+                    "revenue": rev,
+                }
+            )
+            .groupby("l_orderkey", sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
+
+    li_p = li.map_batches(rev_partial, batch_format="pandas", batch_size=65536)
+
+    joined = hash_join(
+        li_p,
+        ord_f.map_batches(
+            lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "o_orderdate"]
+            ],
+            batch_format="pandas",
+        ),
+        on="l_orderkey",
+        num_buckets=16,
+    )
+
+    def top_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
+        g["revenue"] = np.round(g["revenue"].to_numpy(np.float64), 4)
+        # the join's internal side-union NaN-pads non-key ints to
+        # float64 — restore the key dtype before the driver compare
+        g["l_orderkey"] = g["l_orderkey"].to_numpy(np.int64)
+        return g[["l_orderkey", "revenue", "o_orderdate"]].sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    pruned = bucketed_map_groups(joined, ["l_orderkey"], top_bucket, num_buckets=8)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    return single_bucket_merge(pruned, final)

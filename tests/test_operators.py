@@ -1896,3 +1896,29 @@ def test_doc_unigram_xent_matches_scalar_lm(ray_session):
     # the rarest token's surprisal
     assert (got > 0).all()
     assert got.max() <= -np.log(1.0 / total) + 1e-9
+
+
+def test_shipping_priority_matches_pandas_q3(ray_session):
+    from rdf_canon_ray.pipelines.analytics import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    seg, d, k = "BUILDING", pd.Timestamp("1998-06-01"), 10
+    got = shipping_priority(sf, segment=seg, cutoff=str(d.date()), k=k).to_pandas()
+    cust = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    o = orders[orders["o_orderdate"] < d].merge(
+        cust[cust["c_mktsegment"] == seg], left_on="o_custkey", right_on="c_custkey"
+    )
+    l = li[li["l_shipdate"] > d].copy()
+    l["revenue"] = l["l_extendedprice"] * (1 - l["l_discount"])
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = j.groupby(["l_orderkey", "o_orderdate"])["revenue"].sum().reset_index()
+    g["revenue"] = g["revenue"].round(4)
+    exp = g.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+    ).head(k).reset_index(drop=True)
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["revenue"].tolist() == exp["revenue"].tolist()
+    assert got["o_orderdate"].tolist() == exp["o_orderdate"].tolist()
