@@ -372,21 +372,31 @@ def triangle_counts(
     broadcast_threshold: int = 2_000_000,
     edge_broadcast_threshold: int = 50_000_000,
     max_conv_entities: Optional[int] = None,
+    force_partitioned: bool = False,
 ) -> rd.Dataset:
     """Per-node triangle counts + local clustering coefficient over the
     co-mention graph, via DEGREE-ORIENTED wedge generation (the
     standard scalable triangle algorithm: orient every edge from its
     lower-(deg, id) endpoint to the higher one, generate wedges only at
     a node's out-list — total wedge volume O(m^1.5) instead of
-    Σ deg² — then one hash-join closes them against the oriented edge
-    list).  Lexicographic wedge generation would blow up on hub
-    entities (a supplier mentioned in thousands of conversations makes
-    deg² wedges); orientation caps out-degrees at ~√m.
+    Σ deg² — then close them against the oriented edge list).
+    Lexicographic wedge generation would blow up on hub entities (a
+    supplier mentioned in thousands of conversations makes deg² wedges);
+    orientation caps out-degrees at ~√m.
 
-    The degree map ships broadcast (node-scale, gated by
-    ``broadcast_threshold`` like PageRank's rank vector); the wedge →
-    edge close is a partitioned hash join, so the only corpus-scale
-    exchange carries the O(m^1.5) wedge stream.
+    Two execution modes behind the same gate pattern as ``pagerank``:
+      - broadcast (default when the node table fits
+        ``broadcast_threshold`` AND the edge list fits
+        ``edge_broadcast_threshold``): degree map + sorted int64 edge-key
+        array ship via ``ray.put`` and the wedge stream never crosses
+        the wire (membership is an in-task searchsorted).
+      - partitioned (above either gate, or ``force_partitioned``): no
+        node- or edge-scale driver/broadcast state anywhere — degrees
+        attach to both endpoints through co-partitioned hash joins, the
+        wedge stream is generated in the corner's bucket and closed by
+        a second co-partitioned exchange keyed on the closing edge
+        (a, b), with per-bucket corner pre-counts so the final exchange
+        carries node-scale partials only.
 
     Output: (entity_iri, n_triangles, clustering) for every node in at
     least one triangle; clustering = 2·T / (deg·(deg−1)), half-even
@@ -412,13 +422,13 @@ def triangle_counts(
         {"deg": "sum"},
         default_buckets(),
     )
+    if (
+        force_partitioned
+        or deg.count() > broadcast_threshold
+        or edges.count() > edge_broadcast_threshold
+    ):
+        return _triangles_partitioned(edges, deg.materialize())
     deg_df = deg.to_pandas()
-    if len(deg_df) > broadcast_threshold:
-        raise NotImplementedError(
-            "triangle_counts currently requires the degree map to fit "
-            "the broadcast gate; partition the graph or raise the "
-            "threshold"
-        )
     # Dictionary-encode entities: order codes by (deg, iri) so the
     # orientation relation u≺v becomes plain integer < — every exchange
     # from here on carries int64 keys, not ~40-byte IRIs (3-5× less
@@ -453,12 +463,6 @@ def triangle_counts(
     # crosses the wire: generate pairs → membership searchsorted →
     # bincount corner partials, all fused in one task per bucket.
     n_codes = len(nodes_arr)
-    if edges.count() > edge_broadcast_threshold:
-        raise NotImplementedError(
-            "triangle_counts ships the oriented edge set broadcast "
-            "(8 B/edge); beyond the gate, close wedges with a "
-            "partitioned hash join on (u, v) instead"
-        )
     odf = oriented.select_columns(["u", "v"]).to_pandas()
     ekeys = np.sort(
         odf["u"].to_numpy().astype(np.int64) * n_codes
@@ -548,6 +552,172 @@ def triangle_counts(
         )
 
     return counts.map_batches(
+        clustering, batch_format="pandas", batch_size=32768
+    )
+
+
+def _triangles_partitioned(edges: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
+    """Triangle counts with NO node- or edge-scale broadcast/driver
+    state — the 100-TB path.  Same degree orientation as the broadcast
+    kernel (u ≺ v iff (deg(u), u) < (deg(v), v)), expressed entirely on
+    the shuffle backbone:
+
+      1. degrees attach to BOTH endpoints via two co-partitioned hash
+         joins (the degree table streams, never ``ray.put``);
+      2. orientation is a map-only per-row comparison;
+      3. wedges are generated in the corner's u-bucket (out-lists sorted
+         by (deg, iri), triu pair expansion — O(m^1.5) total) and flow
+         into a second exchange keyed on the CLOSING edge (a, b), where
+         they meet the oriented edge list co-partitioned on the same
+         key: an in-bucket merge closes them, and corner counts
+         pre-aggregate in-bucket so the final exchange carries
+         node-scale partials only;
+      4. clustering attaches the degree back with one more
+         co-partitioned join.
+
+    Every exchange is bucketed by key hash; skew is bounded by the
+    orientation (out-degree ≤ ~√m) exactly as in the broadcast path.
+    Verified equal to the broadcast kernel in
+    ``tests/test_graph.py::test_triangles_partitioned_matches_broadcast``."""
+    d1 = deg.map_batches(
+        lambda b: b.rename(columns={"node": "e1", "deg": "d1"}),
+        batch_format="pandas",
+    )
+    d2 = deg.map_batches(
+        lambda b: b.rename(columns={"node": "e2", "deg": "d2"}),
+        batch_format="pandas",
+    )
+    j = hash_join(edges, d1, on="e1", num_buckets=default_buckets())
+    j = hash_join(j, d2, on="e2", num_buckets=default_buckets())
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        e1 = batch["e1"].to_numpy(dtype=object)
+        e2 = batch["e2"].to_numpy(dtype=object)
+        a1 = batch["d1"].to_numpy()
+        a2 = batch["d2"].to_numpy()
+        swap = (a2 < a1) | ((a2 == a1) & (e2 < e1))
+        return pd.DataFrame(
+            {
+                "u": np.where(swap, e2, e1),
+                "v": np.where(swap, e1, e2),
+                "dv": np.where(swap, a1, a2).astype(np.int64),
+            }
+        )
+
+    oriented = j.map_batches(
+        orient, batch_format="pandas", batch_size=32768
+    ).materialize()  # feeds both the wedge pass and the close pass
+
+    def gen_wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        # out-lists sorted by (deg, iri): pair (i < j) then IS the
+        # oriented closing edge candidate (a ≺ b by construction)
+        b = bucket.sort_values(["u", "dv", "v"], kind="mergesort")
+        u = b["u"].to_numpy(dtype=object)
+        v = b["v"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        triu_cache: dict = {}
+        corners: list = []
+        az: list = []
+        bz: list = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu_ju = triu_cache.get(k)
+            if iu_ju is None:
+                iu_ju = np.triu_indices(k, 1)
+                triu_cache[k] = iu_ju
+            vs = v[s:e]
+            corners.append(np.full(len(iu_ju[0]), u[s], dtype=object))
+            az.append(vs[iu_ju[0]])
+            bz.append(vs[iu_ju[1]])
+        if not corners:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=object),
+                    "b": pd.Series([], dtype=object),
+                    "corner": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(az),
+                "b": np.concatenate(bz),
+                "corner": np.concatenate(corners),
+            }
+        )
+
+    wedges = bucketed_map_groups(
+        oriented, ["u"], gen_wedges, default_buckets()
+    )
+
+    # Close in-bucket: wedges and oriented edge keys co-partition on the
+    # closing edge (a, b); matches are triangles, and each bucket emits
+    # CORNER PARTIAL COUNTS (node, t), not per-triangle rows.
+    wedge_cols = ["a", "b", "corner", "_side"]
+
+    def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_side"] = "w"
+        return out.reindex(columns=wedge_cols)
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": batch["u"], "b": batch["v"]})
+        out["_side"] = "e"
+        return out.reindex(columns=wedge_cols)
+
+    tagged = wedges.map_batches(tag_wedge, batch_format="pandas").union(
+        oriented.map_batches(tag_edge, batch_format="pandas")
+    )
+
+    def close_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        w = bucket.loc[bucket["_side"] == "w", ["a", "b", "corner"]]
+        e = bucket.loc[bucket["_side"] == "e", ["a", "b"]]
+        m = w.merge(e, on=["a", "b"])  # edge keys distinct → semi join
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype=object),
+                    "t": pd.Series([], dtype=np.int64),
+                }
+            )
+        vc = pd.Series(
+            np.concatenate(
+                [
+                    m["corner"].to_numpy(dtype=object),
+                    m["a"].to_numpy(dtype=object),
+                    m["b"].to_numpy(dtype=object),
+                ]
+            )
+        ).value_counts()
+        return pd.DataFrame(
+            {
+                "node": vc.index.to_numpy(dtype=object),
+                "t": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    partials = bucketed_map_groups(
+        tagged, ["a", "b"], close_count, default_buckets()
+    )
+    counts = grouped_agg(
+        partials, ["node"], {"t": "sum"}, default_buckets()
+    )
+    final = hash_join(counts, deg, on="node", num_buckets=default_buckets())
+
+    def clustering(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["deg"].to_numpy().astype(np.float64)
+        t = batch["t"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "entity_iri": batch["node"],
+                "n_triangles": batch["t"].astype(np.int64),
+                "clustering": np.round(2.0 * t / (d * (d - 1.0)), 6),
+            }
+        )
+
+    return final.map_batches(
         clustering, batch_format="pandas", batch_size=32768
     )
 

@@ -107,6 +107,23 @@ def test_triangle_counts_vs_set_intersection(ray_session):
     assert (got["clustering"] > 0).all() and (got["clustering"] <= 1).all()
 
 
+def test_triangles_partitioned_matches_broadcast(ray_session):
+    # the 100-TB path (no node-/edge-scale broadcast anywhere) must
+    # produce the exact same counts as the broadcast kernel — verified
+    # at sf0.01 per the round-3 brief
+    sf = "/root/testdata/sf0.01"
+    key = lambda df: (
+        df.to_pandas()
+        .sort_values("entity_iri")
+        .reset_index(drop=True)
+    )
+    bc = key(graph.triangle_counts(sf))
+    part = key(graph.triangle_counts(sf, force_partitioned=True))
+    assert bc["entity_iri"].tolist() == part["entity_iri"].tolist()
+    assert bc["n_triangles"].tolist() == part["n_triangles"].tolist()
+    assert bc["clustering"].tolist() == part["clustering"].tolist()
+
+
 def test_mix_sources_quotas(ray_session):
     import duckdb
 
