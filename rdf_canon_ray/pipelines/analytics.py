@@ -1669,23 +1669,27 @@ def events_sliding(
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
-    """Per-document top-k TF-IDF terms: the document-frequency table is
-    computed distributedly (``doc_freq``), collected (vocabulary-scale,
-    the standard broadcast side — like a tokenizer vocab), shipped once
-    via ``ray.put``, and each batch scores its own documents map-only:
-    term counts → tf·ln(N/df) → top-k per doc (score desc, term asc).
+    """Per-document top-k TF-IDF terms, fully CO-PARTITIONED on term —
+    the raw whitespace vocabulary of a web-scale corpus is billions of
+    terms (typos, URLs), NOT a tokenizer vocab, so the
+    document-frequency table is never collected or broadcast (same
+    stance as ``doc_unigram_xent``): documents explode to exact
+    (doc_id, term, tf) rows (each batch holds whole docs), the df table
+    streams into a partitioned hash join on term, scores compute
+    map-side with a per-batch local top-k combiner (valid because
+    (doc, term) rows are unique — global top-k under the total order
+    (score desc, term asc) = top-k of the union of local top-ks), and
+    one doc-keyed exchange picks the winners.
 
     Output: (doc_id, rank 1-based, term, score[6dp])."""
-    import ray
-
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_map_groups
+    from ..util import default_buckets
     from .corpus import _docs
 
-    df_tbl = doc_freq(sf_dir).to_pandas()
     n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
-    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(int))))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        dfs = ray.get(df_ref)
+    def tf_table(batch: pd.DataFrame) -> pd.DataFrame:
         exploded = (
             batch.set_index("doc_id")["text"].str.findall(r"\S+").explode()
         )
@@ -1697,13 +1701,27 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
             .reset_index()
             .rename(columns={"text": "term"})
         )
-        tf = tf[tf["term"].notna()]
-        df_vals = tf["term"].map(dfs).to_numpy(dtype=np.float64)
-        tf["score"] = tf["tf"].to_numpy(np.float64) * np.log(
-            float(n_docs) / df_vals
+        return tf[tf["term"].notna()]
+
+    tf = _docs(sf_dir).map_batches(
+        tf_table, batch_format="pandas", batch_size=8192
+    )
+    joined = hash_join(
+        tf, doc_freq(sf_dir), on="term", num_buckets=default_buckets()
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                # the join's side-union widens ints to float64 — cast back
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "term": batch["term"].to_numpy(dtype=object),
+                "score": batch["tf"].to_numpy(np.float64)
+                * np.log(float(n_docs) / batch["df"].to_numpy(np.float64)),
+            }
         )
-        top = (
-            tf.sort_values(
+        return (
+            out.sort_values(
                 ["doc_id", "score", "term"],
                 ascending=[True, False, True],
                 kind="mergesort",
@@ -1711,6 +1729,22 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
             .groupby("doc_id", sort=False)
             .head(k)
         )
+
+    pruned = joined.map_batches(
+        local_topk, batch_format="pandas", batch_size=32768
+    )
+
+    def final_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            bucket.sort_values(
+                ["doc_id", "score", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        top = top.copy()
         top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
         return pd.DataFrame(
             {
@@ -1721,8 +1755,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
             }
         )
 
-    return _docs(sf_dir).map_batches(
-        score, batch_format="pandas", batch_size=8192
+    return bucketed_map_groups(
+        pruned, ["doc_id"], final_topk, num_buckets=default_buckets()
     )
 
 

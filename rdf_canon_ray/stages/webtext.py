@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from .shuffle import DEFAULT_NUM_BUCKETS, grouped_agg
+from .shuffle import DEFAULT_NUM_BUCKETS, bucketed_map_groups, grouped_agg
 
 # RE2 patterns, shared verbatim with the DuckDB oracles (both engines
 # are RE2, so match semantics are identical by construction).
@@ -188,15 +188,111 @@ def frequent_lines(
     freq_threshold: int,
     text_col: str = "text",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    broadcast_threshold: int | None = None,
 ) -> Set[str]:
     """The boilerplate set: lines occurring ≥ ``freq_threshold`` times
-    corpus-wide.  Bounded above by total_lines / freq_threshold, and in
-    practice tiny (nav/footer strings); collected to the driver for the
-    broadcast filter — the same gated-broadcast stance as
-    ``dedup_clean``'s drop-set."""
+    corpus-wide, collected to the driver for the broadcast filter.
+    Bounded above by total_lines / freq_threshold — which at 100 TB
+    with a small threshold is still huge, so the collect is GATED
+    (same stance as ``dedup_clean``'s drop-set): above
+    ``broadcast_threshold`` hot lines, callers must use the
+    partitioned rewrite (``remove_boilerplate`` switches
+    automatically)."""
     freq = line_frequencies(ds, text_col, num_buckets)
     hot = freq.filter(expr=f"n >= {int(freq_threshold)}")
+    if broadcast_threshold is not None:
+        n_hot = hot.materialize().count()
+        if n_hot > broadcast_threshold:
+            raise ValueError(
+                f"frequent-line set has {n_hot} entries > broadcast "
+                f"gate {broadcast_threshold}; use the partitioned "
+                f"boilerplate rewrite instead of a driver-side set"
+            )
     return set(hot.to_pandas()["line"])
+
+
+def _remove_boilerplate_partitioned(
+    ds: rd.Dataset,
+    hot: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+) -> rd.Dataset:
+    """Boilerplate rewrite with NO driver-side / broadcast line set —
+    the 100-TB path: documents explode to (doc, idx, line) rows, hot
+    lines co-partition with them on the line key (an in-bucket anti
+    membership marks each line kept/dropped; every line row survives so
+    per-doc totals stay exact), and one doc-keyed exchange reassembles
+    each document from its kept lines in original order.  Verified
+    equal to the broadcast path in
+    ``tests/test_webtext.py::test_remove_boilerplate_partitioned_matches``."""
+    cols = [id_col, "_idx", "line", "_side"]
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        split = batch[text_col].str.split("\n")
+        n = split.str.len().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), n),
+                "_idx": (
+                    np.arange(int(n.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(n) - n, n)
+                ),
+                "line": np.concatenate(
+                    [np.asarray(x, dtype=object) for x in split]
+                )
+                if len(batch)
+                else np.asarray([], dtype=object),
+                "_side": "l",
+            }
+        )
+        return out.reindex(columns=cols)
+
+    def tag_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"line": batch["line"]})
+        out["_side"] = "h"
+        return out.reindex(columns=cols)
+
+    tagged = ds.map_batches(
+        explode, batch_format="pandas", batch_size=4096
+    ).union(hot.map_batches(tag_hot, batch_format="pandas"))
+
+    def mark(bucket: pd.DataFrame) -> pd.DataFrame:
+        drop = bucket.loc[bucket["_side"] == "h", "line"]
+        l = bucket.loc[bucket["_side"] == "l", [id_col, "_idx", "line"]]
+        return pd.DataFrame(
+            {
+                # the tag union NaN-pads the h rows' int columns — cast back
+                id_col: l[id_col].to_numpy(np.int64),
+                "_idx": l["_idx"].to_numpy(np.int64),
+                "line": l["line"].to_numpy(dtype=object),
+                "_kept": ~l["line"].isin(set(drop)),
+            }
+        )
+
+    marked = bucketed_map_groups(tagged, ["line"], mark, num_buckets)
+
+    def reassemble(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([id_col, "_idx"], kind="mergesort")
+        g = b.groupby(id_col, sort=False)
+        sizes = g.size()
+        kept = (
+            b.loc[b["_kept"]]
+            .groupby(id_col, sort=False)["line"]
+            .agg("\n".join)
+        )
+        return pd.DataFrame(
+            {
+                id_col: sizes.index.to_numpy(np.int64),
+                "n_lines": sizes.to_numpy(np.int64),
+                "n_kept": g["_kept"].sum().to_numpy(np.int64),
+                "clean_text": kept.reindex(
+                    sizes.index, fill_value=""
+                ).to_numpy(),
+            }
+        )
+
+    return bucketed_map_groups(marked, [id_col], reassemble, num_buckets)
 
 
 def remove_boilerplate(
@@ -205,11 +301,25 @@ def remove_boilerplate(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    broadcast_threshold: int = 1_000_000,
+    force_partitioned: bool = False,
 ) -> rd.Dataset:
     """Drop every line that appears ≥ ``freq_threshold`` times in the
     corpus, rebuild each document from its surviving lines (original
-    order).  One grouped-count exchange + a map-only rewrite."""
-    hot = frequent_lines(ds, freq_threshold, text_col, num_buckets)
+    order).  Two modes behind a hot-set size gate (the ``dedup_clean``
+    pattern): at or under ``broadcast_threshold`` hot lines the set
+    ships via ``ray.put`` and the rewrite is map-only; above it (or
+    with ``force_partitioned``) the rewrite runs co-partitioned on the
+    line key with no driver-side set anywhere."""
+    freq = line_frequencies(ds, text_col, num_buckets)
+    hot_ds = freq.filter(
+        expr=f"n >= {int(freq_threshold)}"
+    ).materialize()
+    if force_partitioned or hot_ds.count() > broadcast_threshold:
+        return _remove_boilerplate_partitioned(
+            ds, hot_ds, id_col, text_col, num_buckets
+        )
+    hot = set(hot_ds.to_pandas()["line"])
     hot_ref = ray.put(hot)
 
     def rewrite(batch: pd.DataFrame) -> pd.DataFrame:

@@ -55,6 +55,28 @@ def test_remove_boilerplate_order_and_empty(ray_session):
     assert out["clean_text"][3] == rows["text"][3]
 
 
+def test_remove_boilerplate_partitioned_matches(ray_session):
+    # the above-gate path (no driver-side line set) must match the
+    # broadcast rewrite exactly — on the real synthetic web corpus
+    ds = rd.from_arrow(webtext.synth_web_table(400))
+    key = lambda d: (
+        d.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bc = key(webtext.remove_boilerplate(ds, freq_threshold=5))
+    part = key(
+        webtext.remove_boilerplate(
+            ds, freq_threshold=5, force_partitioned=True
+        )
+    )
+    pd.testing.assert_frame_equal(bc, part)
+    # and the frequent_lines gate trips when asked to
+    try:
+        webtext.frequent_lines(ds, 5, broadcast_threshold=1)
+        assert False, "gate should have tripped"
+    except ValueError as e:
+        assert "broadcast" in str(e)
+
+
 def test_synth_web_table_deterministic():
     a = webtext.synth_web_table(50)
     b = webtext.synth_web_table(50)
