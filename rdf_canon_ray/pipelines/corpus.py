@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..stages import dedup, multimodal, similarity, text, webtext
+from ..stages import dedup, multimodal, similarity, text, vhash, webtext
 from ..util import default_pool
 
 
@@ -562,8 +562,6 @@ def pack_sequences(
 
     Output: (doc_id, pack_bucket, seq_idx, tok_offset) — the training
     sequence index the document STARTS in and its offset within it."""
-    import hashlib
-
     import pandas as pd
     import ray
 
@@ -574,15 +572,17 @@ def pack_sequences(
 
     def route(batch: pd.DataFrame) -> pd.DataFrame:
         n_tok = batch["text"].str.split().str.len().fillna(0).astype("int64")
-        buckets = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % num_packs
-            for d in batch["doc_id"]
-        ]
         ids = batch["doc_id"].to_numpy()
+        # md5 routing stays (the SQL oracle replays it) — hexdigest[:4]
+        # is the digest's top 2 bytes, vectorized (stages.vhash)
+        buckets = (
+            (vhash.md5_u64be(ids) >> np.uint64(48)).astype(np.int64)
+            % num_packs
+        )
         return pd.DataFrame(
             {
                 "doc_id": ids,
-                "pack_bucket": np.asarray(buckets, np.int64),
+                "pack_bucket": buckets,
                 "sub": ids // sub_size,  # doc_id-ordered sub-ranges
                 "n_tok": n_tok.to_numpy(),
             }
@@ -709,8 +709,6 @@ def stratified_sample(sf_dir: str, per_source: int = 10) -> rd.Dataset:
     ``per_source × sources × num_blocks`` rows, never the corpus.
 
     Output: (doc_id, source, sample_rank 1-based)."""
-    import hashlib
-
     import pandas as pd
 
     from ..stages.shuffle import bucketed_map_groups
@@ -720,25 +718,29 @@ def stratified_sample(sf_dir: str, per_source: int = 10) -> rd.Dataset:
     )
 
     def local_top(batch: pd.DataFrame) -> pd.DataFrame:
-        h = [
-            hashlib.md5(str(d).encode()).hexdigest()
-            for d in batch["doc_id"]
-        ]
+        # full 128-bit digest as two uint64 sort keys: (h_hi, h_lo)
+        # order == hexdigest lexicographic order, no string boxing
+        hi, lo = vhash.md5_u128be(batch["doc_id"].to_numpy())
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
                 "source": batch["source"].to_numpy(dtype=object),
-                "h": h,
+                "h_hi": hi,
+                "h_lo": lo,
             }
         )
         return (
-            out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            out.sort_values(
+                ["source", "h_hi", "h_lo", "doc_id"], kind="mergesort"
+            )
             .groupby("source", sort=False)
             .head(per_source)
         )
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        b = bucket.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        b = bucket.sort_values(
+            ["source", "h_hi", "h_lo", "doc_id"], kind="mergesort"
+        )
         b = b.groupby("source", sort=False).head(per_source)
         b["sample_rank"] = b.groupby("source", sort=False).cumcount() + 1
         return b[["doc_id", "source", "sample_rank"]].astype(
@@ -768,8 +770,6 @@ def mix_sources(sf_dir: str, target: int = 300) -> rd.Dataset:
     most ``max_quota × sources × num_blocks`` rows, never the corpus.
 
     Output: (doc_id, source, sample_rank 1-based ≤ quota)."""
-    import hashlib
-
     import pandas as pd
 
     from ..stages.shuffle import bucketed_map_groups, grouped_agg
@@ -802,24 +802,27 @@ def mix_sources(sf_dir: str, target: int = 300) -> rd.Dataset:
     max_quota = int(quota.max())
 
     def local_top(batch: pd.DataFrame) -> pd.DataFrame:
-        h = [
-            hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]
-        ]
+        hi, lo = vhash.md5_u128be(batch["doc_id"].to_numpy())
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
                 "source": batch["source"].to_numpy(dtype=object),
-                "h": h,
+                "h_hi": hi,
+                "h_lo": lo,
             }
         )
         return (
-            out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            out.sort_values(
+                ["source", "h_hi", "h_lo", "doc_id"], kind="mergesort"
+            )
             .groupby("source", sort=False)
             .head(max_quota)
         )
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        b = bucket.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        b = bucket.sort_values(
+            ["source", "h_hi", "h_lo", "doc_id"], kind="mergesort"
+        )
         b["sample_rank"] = b.groupby("source", sort=False).cumcount() + 1
         lim = b["source"].map(quotas).fillna(0).to_numpy()
         b = b[b["sample_rank"].to_numpy() <= lim]
@@ -841,8 +844,6 @@ def weighted_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
     local top-k combiner keeps ≤ k rows per block, the global merge
     sorts ≤ k×blocks rows — the corpus itself never shuffles.
     Output: (doc_id, source, n_chars, samp_key rounded 6dp)."""
-    import hashlib
-
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"],
@@ -850,13 +851,14 @@ def weighted_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
     scale = float(1 << 52)
 
     def local_top(batch: pd.DataFrame) -> pd.DataFrame:
-        u = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
-                for d in batch["doc_id"]
-            ],
-            np.float64,
-        ) / scale
+        # hexdigest[:13] = digest's top 52 bits, vectorized
+        u = (
+            (
+                vhash.md5_u64be(batch["doc_id"].to_numpy())
+                >> np.uint64(12)
+            ).astype(np.float64)
+            / scale
+        )
         key = -np.log(u) / batch["n_chars"].to_numpy(np.float64)
         out = pd.DataFrame(
             {
@@ -1017,8 +1019,6 @@ def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
     corpus/256 rows; scale the prefix width with the corpus.
 
     Output: (doc_id, shuffle_rank)."""
-    import hashlib
-
     import pandas as pd
     import ray
 
@@ -1029,12 +1029,15 @@ def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
     )
 
     def key(batch: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
+        # (h_hi, h_lo) uint64 pair orders exactly like the hexdigest;
+        # the prefix bucket is the digest's first byte
+        hi, lo = vhash.md5_u128be(batch["doc_id"].to_numpy())
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
-                "h": h,
-                "pb": [int(x[:2], 16) for x in h],
+                "h_hi": hi,
+                "h_lo": lo,
+                "pb": (hi >> np.uint64(56)).astype(np.int64),
             }
         )
 
@@ -1060,7 +1063,7 @@ def shuffle_order(sf_dir: str, num_prefix_buckets: int = 256) -> rd.Dataset:
         bases = ray.get(base_ref)
         outs = []
         for pb, sub in bucket.groupby("pb", sort=False):
-            b = sub.sort_values(["h", "doc_id"], kind="mergesort")
+            b = sub.sort_values(["h_hi", "h_lo", "doc_id"], kind="mergesort")
             outs.append(
                 pd.DataFrame(
                     {

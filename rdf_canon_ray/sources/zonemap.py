@@ -52,13 +52,27 @@ def _key_to_int(v) -> int:
     return int(v)
 
 
-def zone_export(ds: rd.Dataset, path: str, key: str) -> str:
+def zone_export(
+    ds: rd.Dataset, path: str, key: str, input_tag: str | None = None
+) -> str:
     """Globally sort ``ds`` on ``key`` and publish it as a pruned-read
     layout: Parquet files + a ``_zonemap.json`` manifest of each file's
     [min, max] key (taken from the Parquet footer statistics — no data
-    pages are read).  Idempotent per path; atomic publish."""
-    if os.path.isdir(path) and os.path.isfile(os.path.join(path, _MANIFEST)):
-        return path
+    pages are read).  Idempotent per (path, input): the manifest
+    records an input fingerprint (``input_tag`` if given, else row
+    count + schema) and a changed input REBUILDS the layout instead of
+    silently serving the stale sorted copy.  Atomic publish."""
+    fingerprint = (
+        input_tag
+        if input_tag is not None
+        else f"{ds.count()}|{','.join(sorted(ds.schema().names))}"
+    )
+    mf = os.path.join(path, _MANIFEST)
+    if os.path.isdir(path) and os.path.isfile(mf):
+        with open(mf) as f:
+            existing = json.load(f)
+        if existing.get("fingerprint") == fingerprint:
+            return path
     tmp = path + ".tmp"
     import shutil
 
@@ -83,7 +97,19 @@ def zone_export(ds: rd.Dataset, path: str, key: str) -> str:
         if fmin is not None:
             zones.append({"file": name, "min": fmin, "max": fmax})
     with open(os.path.join(tmp, _MANIFEST), "w") as f:
-        json.dump({"key": key, "zones": zones}, f)
+        json.dump(
+            {"key": key, "zones": zones, "fingerprint": fingerprint}, f
+        )
+    if os.path.isdir(path):
+        # rebuild over a stale layout: atomic_publish_dir deliberately
+        # lets an existing dir win (same-content race semantics), so
+        # swap the stale dir aside first
+        stale = path + ".stale"
+        shutil.rmtree(stale, ignore_errors=True)
+        os.rename(path, stale)
+        out = atomic_publish_dir(tmp, path)
+        shutil.rmtree(stale, ignore_errors=True)
+        return out
     return atomic_publish_dir(tmp, path)
 
 

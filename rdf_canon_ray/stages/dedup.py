@@ -297,8 +297,23 @@ def _pairs_from_buckets(
         ids = np.unique(sub[id_col].to_numpy())
         if len(ids) > bucket_cap:  # safety valve on degenerate buckets
             n = len(ids)
-            dropped += n * (n - 1) // 2 - bucket_cap * (bucket_cap - 1) // 2
-            ids = ids[:bucket_cap]
+            if min_new_id is not None:
+                # incremental mode: truncation must PREFER new-shard
+                # (high) ids — keeping the sorted-smallest could evict
+                # every new id and then skip the group as old-only,
+                # silently losing new-document duplicate pairs.  Keep
+                # all new ids (the valve is for degenerate OLD-heavy
+                # buckets) plus old ids up to the cap.
+                new = ids[ids >= min_new_id]
+                old = ids[: len(ids) - len(new)]
+                kept = np.concatenate(
+                    [old[: max(bucket_cap - len(new), 0)], new]
+                )
+            else:
+                kept = ids[:bucket_cap]
+            m = len(kept)
+            dropped += n * (n - 1) // 2 - m * (m - 1) // 2
+            ids = kept
         if min_new_id is not None and (len(ids) == 0 or ids[-1] < min_new_id):
             continue  # ids sorted: whole group is old×old
         ia, ib = np.triu_indices(len(ids), k=1)

@@ -24,6 +24,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from . import vhash
+
 WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")
 
 _STOP_EN = {
@@ -219,11 +221,19 @@ class HashSplit:
         return self.boundaries[-1][0]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        keys = batch[self.id_col].astype(str)
+        # vectorized md5 (stages.vhash): the 2-hex-char bucket is the
+        # digest's first byte; string compare h <= upper == byte compare
+        b0 = vhash.md5_u64be(batch[self.id_col].to_numpy()) >> np.uint64(56)
+        conds = [b0 <= np.uint64(int(u, 16)) for _, u in self.boundaries]
+        split = np.select(
+            conds,
+            [n for n, _ in self.boundaries],
+            default=self.boundaries[-1][0],
+        )
         return pd.DataFrame(
             {
                 self.id_col: batch[self.id_col].to_numpy(),
-                "split": keys.map(self.assign).to_numpy(dtype=object),
+                "split": split.astype(object),
             }
         )
 

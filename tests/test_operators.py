@@ -1711,6 +1711,48 @@ def test_zone_read_out_of_range_keeps_schema(ray_session, tmp_path):
     assert out.select_columns(["k"]).count() == 0
 
 
+def test_zone_export_rebuilds_on_changed_input(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_canon_ray.sources import zonemap
+
+    path = str(tmp_path / "zf")
+    df1 = pd.DataFrame({"k": np.arange(50, dtype=np.int64), "v": np.arange(50)})
+    zonemap.zone_export(rd.from_pandas(df1).repartition(2), path, "k")
+    assert zonemap.zone_read(path, 0, 1000).count() == 50
+    # same path, CHANGED input → must rebuild, not serve the stale copy
+    df2 = pd.DataFrame(
+        {"k": np.arange(80, dtype=np.int64), "v": np.arange(80)}
+    )
+    zonemap.zone_export(rd.from_pandas(df2).repartition(2), path, "k")
+    assert zonemap.zone_read(path, 0, 1000).count() == 80
+    # unchanged input → idempotent (manifest fingerprint matches)
+    zonemap.zone_export(rd.from_pandas(df2).repartition(2), path, "k")
+    assert zonemap.zone_read(path, 0, 1000).count() == 80
+
+
+def test_incremental_bucket_cap_prefers_new_ids():
+    from rdf_canon_ray.stages.dedup import _pairs_from_buckets
+
+    # one hot band group: 30 old ids (0..29) + 2 new ids (100, 101);
+    # cap 10 would previously keep ids[:10] = all-old and then skip the
+    # group as old-only, losing the new-new/new-old candidate pairs
+    bucket = pd.DataFrame(
+        {
+            "band_id": np.zeros(32, np.int32),
+            "band_hash": np.zeros(32, np.int64),
+            "doc_id": np.r_[np.arange(30), [100, 101]].astype(np.int64),
+        }
+    )
+    out = _pairs_from_buckets(
+        bucket, "doc_id", bucket_cap=10, min_new_id=100
+    )
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (100, 101) in pairs  # new×new pair survives
+    # new ids pair with the kept old ids too
+    assert any(b == 100 for _, b in pairs if _ < 100)
+
+
 def test_global_median_max_heavy_large_magnitude(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
