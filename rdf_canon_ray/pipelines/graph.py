@@ -249,16 +249,89 @@ def _pagerank_broadcast(
     return _pagerank_iterate(enc, nodes, deg, iterations)
 
 
+# --- object-store tree reduce for resident-iteration vectors ---------
+#
+# Each resident iteration (pagerank step, BFS relaxation) emits one
+# (code, value) row per node, codes DISJOINT across blocks (the encoded
+# adjacency holds each node exactly once).  Instead of collecting that
+# node-scale table to the driver every round (`to_pandas` + re-scatter
+# + `ray.put`), the blocks reduce INSIDE the object store: scatter
+# tasks build dense partial vectors from ≤fan-in blocks, combine tasks
+# fold partials pairwise, and the final ObjectRef feeds the next
+# round's map directly — the driver only ever holds refs (plus one
+# 1-byte convergence flag for BFS) until the last iteration.
+
+@ray.remote
+def _dense_scatter(n: int, init: float, col: str, *blocks) -> np.ndarray:
+    import pyarrow as pa
+
+    vec = np.full(int(n), init, np.float64)
+    for b in blocks:
+        if isinstance(b, pa.Table):
+            b = b.to_pandas()
+        vec[b["code"].to_numpy().astype(np.int64)] = b[col].to_numpy(
+            np.float64
+        )
+    return vec
+
+
+@ray.remote
+def _combine_vecs(op: str, *vecs) -> np.ndarray:
+    out = vecs[0].copy()
+    for v in vecs[1:]:
+        if op == "sum":
+            out += v  # disjoint scatters over a 0-init: add == union
+        else:
+            np.minimum(out, v, out=out)
+    return out
+
+
+@ray.remote
+def _div_vecs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a / b
+
+
+@ray.remote
+def _vecs_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    return bool(np.array_equal(a, b))
+
+
+def _tree_reduce_blocks(
+    out_ds: rd.Dataset, n: int, op: str, col: str, fanin: int = 8
+):
+    """ObjectRef to the dense length-``n`` vector folded from
+    ``out_ds``'s (code, value) blocks — nothing lands on the driver."""
+    refs = [
+        r
+        for bundle in out_ds.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    init = 0.0 if op == "sum" else np.inf
+    parts = [
+        _dense_scatter.remote(n, init, col, *refs[i : i + fanin])
+        for i in range(0, len(refs), fanin)
+    ]
+    while len(parts) > 1:
+        parts = [
+            _combine_vecs.remote(op, *parts[i : i + fanin])
+            for i in range(0, len(parts), fanin)
+        ]
+    return parts[0]
+
+
 def _pagerank_iterate(
     enc: rd.Dataset, nodes: np.ndarray, deg: np.ndarray, iterations: int
 ) -> rd.Dataset:
-    ranks = np.ones(len(nodes), np.float64)
+    n = len(nodes)
+    rank_ref = ray.put(np.ones(n, np.float64))
+    deg_ref = ray.put(deg)
 
     for _ in range(iterations):
-        # contribution each node sends along every out-edge
-        sends = ray.put(ranks / deg)
+        # contribution each node sends along every out-edge — computed
+        # in the object store, never ray.get on the driver
+        sends = _div_vecs.remote(rank_ref, deg_ref)
 
-        def step(batch: pd.DataFrame) -> pd.DataFrame:
+        def step(batch: pd.DataFrame, sends=sends) -> pd.DataFrame:
             v: np.ndarray = ray.get(sends)
             lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
             flat = np.concatenate(
@@ -275,13 +348,10 @@ def _pagerank_iterate(
                 }
             )
 
-        out = enc.map_batches(
-            step, batch_format="pandas", batch_size=8192
-        ).to_pandas()
-        nxt = np.empty(len(nodes), np.float64)
-        nxt[out["code"].to_numpy()] = out["r"].to_numpy()
-        ranks = nxt
+        out = enc.map_batches(step, batch_format="pandas", batch_size=8192)
+        rank_ref = _tree_reduce_blocks(out, n, "sum", "r")
 
+    ranks = ray.get(rank_ref)  # the ONLY driver-side vector fetch
     return rd.from_pandas(
         pd.DataFrame(
             {
@@ -327,12 +397,11 @@ def bfs_depths(
         .sort_values(["d", "n"], ascending=[False, True], kind="mergesort")
         .index[0]
     ]
-    depth = np.where(nodes == seed, 0.0, np.inf)
+    depth_ref = ray.put(np.where(nodes == seed, 0.0, np.inf))
 
     for _ in range(max_depth):
-        dref = ray.put(depth)
 
-        def step(batch: pd.DataFrame) -> pd.DataFrame:
+        def step(batch: pd.DataFrame, dref=depth_ref) -> pd.DataFrame:
             d: np.ndarray = ray.get(dref)
             lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
             flat = np.concatenate(
@@ -347,15 +416,14 @@ def bfs_depths(
                 {"code": codes, "d": np.minimum(d[codes], mins + 1.0)}
             )
 
-        out = enc.map_batches(
-            step, batch_format="pandas", batch_size=8192
-        ).to_pandas()
-        new = depth.copy()
-        new[out["code"].to_numpy()] = out["d"].to_numpy()
-        if np.array_equal(new, depth):
+        out = enc.map_batches(step, batch_format="pandas", batch_size=8192)
+        new_ref = _tree_reduce_blocks(out, len(nodes), "min", "d")
+        # convergence check in the object store; only 1 bool lands here
+        if ray.get(_vecs_equal.remote(new_ref, depth_ref)):
             break  # frontier exhausted before max_depth
-        depth = new
+        depth_ref = new_ref
 
+    depth = ray.get(depth_ref)  # the ONLY driver-side vector fetch
     m = np.isfinite(depth)
     return rd.from_pandas(
         pd.DataFrame(
