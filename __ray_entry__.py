@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_partitioned": lambda sf: kg.canonical_graphs_partitioned(sf),
         "kg_canonical_partitioned_sizes": _partitioned_sizes,
         "kg_canonical_sizes": lambda sf: kg.canonical_sizes(sf),
+        "kg_canonical_incremental": lambda sf: kg.canonical_incremental(sf),
         "rdfc_labels": lambda sf: kg.label_invariants(sf),
         "rdfc_label_maps": lambda sf: kg.canonical_labels_dataset(sf),
         "w3c_conformance": _w3c_conformance,
@@ -384,6 +385,17 @@ SELECT 'conv-' || o_orderkey AS graph_id,
 FROM orders LEFT JOIN per_order ON o_orderkey = okey
 """,
         "kg_canonical_sizes": f"""
+WITH {per_order}
+SELECT 'conv-' || o_orderkey AS graph_id,
+       CAST(14 + 7 * COALESCE(L, 0) + 2 * COALESCE(d, 0) AS BIGINT) AS n_quads,
+       CAST(3 + COALESCE(d, 0) AS BIGINT) AS n_bnodes,
+       'ok' AS status
+FROM orders LEFT JOIN per_order ON o_orderkey = okey
+""",
+        # incremental refresh (persisted base store ∪ new-conversation
+        # delta) must equal a from-scratch rebuild — same derivable
+        # invariants as kg_canonical_sizes over the FULL corpus
+        "kg_canonical_incremental": f"""
 WITH {per_order}
 SELECT 'conv-' || o_orderkey AS graph_id,
        CAST(14 + 7 * COALESCE(L, 0) + 2 * COALESCE(d, 0) AS BIGINT) AS n_quads,

@@ -117,6 +117,36 @@ def test_partitioned_path_matches_shuffle_path(ray_session, tmp_path):
     assert (a["status"] == "ok").all()
 
 
+def test_incremental_merge_equals_full_rebuild(ray_session):
+    """Persisted base store ∪ delta canonicalization == from-scratch
+    rebuild, byte-for-byte on the canonical documents."""
+    from rdf_canon_ray.pipelines import kg
+
+    merged = (
+        kg.canonical_incremental_full(SF, num_buckets=16, delta_mod=4)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    full = (
+        kg.canonical_graphs_dataset(SF)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    assert merged["graph_id"].tolist() == full["graph_id"].tolist()
+    assert merged["canon_nquads"].equals(full["canon_nquads"])
+    assert merged["n_quads"].tolist() == full["n_quads"].tolist()
+    # and the delta really is a strict subset of the work: the store
+    # covers only the non-delta buckets
+    import os
+
+    store = kg.canonical_store(SF, num_buckets=16, delta_mod=4)
+    parts = [d for d in os.listdir(store) if d.startswith("part=")]
+    assert all(int(p.split("=")[1]) % 4 != 0 for p in parts)
+    assert 0 < len(parts) < 16
+
+
 def test_quarantine_poison_graph(ray_session):
     """A poison clique graph is quarantined; healthy graphs still pass."""
     import ray.data as rd
