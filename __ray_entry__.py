@@ -97,9 +97,9 @@ def _partitioned_sizes(sf_dir: str) -> Any:
     ds = kg.canonical_graphs_partitioned(sf_dir)
 
     def project(batch):
-        return batch[["graph_id", "n_quads", "n_bnodes", "status"]]
+        return batch.select(["graph_id", "n_quads", "n_bnodes", "status"])
 
-    return ds.map_batches(project, batch_format="pandas", batch_size=8192)
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=8192)
 
 
 def _skewed_sizes(sf_dir: str) -> Any:

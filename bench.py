@@ -55,16 +55,33 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     def consume_graphs():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         graphs = kg.canonical_graphs_dataset(
-            sf_dir, transcripts=rd.read_parquet(tdir)
+            sf_dir,
+            transcripts=rd.read_parquet(tdir, columns=kg._EXTRACT_COLS),
         )
+        # Arrow-side consumption: the canonical blocks are Arrow — count
+        # with C++ kernels, never box the document strings into pandas
         return graphs.map_batches(
-            lambda b: {
-                "n": [len(b["graph_id"])],
-                "ok": [int((b["status"] == "ok").sum())],
-                "quads": [int(b["n_quads"].sum())],
-            },
-            batch_format="pandas",
+            lambda b: pa.table(
+                {
+                    "n": [b.num_rows],
+                    "ok": [
+                        int(
+                            pc.sum(
+                                pc.cast(
+                                    pc.equal(b["status"], "ok"), pa.int64()
+                                )
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    "quads": [int(pc.sum(b["n_quads"]).as_py() or 0)],
+                }
+            ),
+            batch_format="pyarrow",
         ).to_pandas()
 
     # headline: transcripts → extract → link → per-graph canonicalization.

@@ -60,8 +60,18 @@ def transcripts_dataset(sf_dir: str, materialized: bool = True) -> rd.Dataset:
     return build_transcripts(sf_dir)
 
 
+_EXTRACT_COLS = ["conv_id", "turn_idx", "role", "text"]
+
+
 def mentions_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
-    ds = transcripts if transcripts is not None else transcripts_dataset(sf_dir)
+    if transcripts is None:
+        # prune at the read: extraction needs 4 of the 6 transcript
+        # columns (tool/ts never leave storage)
+        ds = rd.read_parquet(
+            transcripts_parquet(sf_dir), columns=_EXTRACT_COLS
+        )
+    else:
+        ds = transcripts
     # Stateless tasks (not an actor pool): tasks scale to every free core
     # immediately — an autoscaling pool ramps too slowly for a
     # seconds-long stage. Arrow-native RE2 extraction; zero-copy input.
@@ -161,10 +171,10 @@ def canonical_sizes(sf_dir: str) -> rd.Dataset:
 
     graphs = canonical_graphs_dataset(sf_dir)
 
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[["graph_id", "n_quads", "n_bnodes", "status"]]
+    def project(batch):
+        return batch.select(["graph_id", "n_quads", "n_bnodes", "status"])
 
-    return graphs.map_batches(project, batch_format="pandas", batch_size=8192)
+    return graphs.map_batches(project, batch_format="pyarrow", batch_size=8192)
 
 
 def label_invariants(sf_dir: str) -> rd.Dataset:
@@ -365,16 +375,19 @@ def _canonicalize_part_files(
     flagship kernel shared by the partitioned, store-build and
     incremental paths)."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ..stages.canonicalize import (
+        _GRAPH_COLS,
+        _GRAPH_SCHEMA,
         _cached_linker,
         canonicalize_one,
         iter_graph_tuples,
     )
     from ..transcripts.extract import extract_mentions_batch
 
-    def process(batch: pd.DataFrame) -> pd.DataFrame:
+    def process(batch: pd.DataFrame) -> pa.Table:
         rows = []
         linker = _cached_linker(maps_ref)
         for path in batch["path"]:
@@ -387,7 +400,12 @@ def _canonicalize_part_files(
                 )
                 for gid, tuples in iter_graph_tuples(quads)
             )
-        return pd.DataFrame(rows)
+        # Arrow block out (explicit schema): canonical docs ship
+        # zero-copy, same rationale as canonicalize_mentions
+        return pa.table(
+            {c: [r[c] for r in rows] for c in _GRAPH_COLS},
+            schema=_GRAPH_SCHEMA,
+        )
 
     return process
 
@@ -463,12 +481,14 @@ def canonical_store(
     process = _canonicalize_part_files(_link_maps_ref(sf_dir), hash_name, None)
 
     def build_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = process(batch)
+        import pyarrow.parquet as pq
+
+        rows = process(batch)  # pa.Table
         b = int(batch["bucket"].iloc[0])
         pdir = os.path.join(tmp, f"part={b}")
         os.makedirs(pdir, exist_ok=True)
-        rows.to_parquet(os.path.join(pdir, "data.parquet"), index=False)
-        return pd.DataFrame({"bucket": [b], "rows": [len(rows)]})
+        pq.write_table(rows, os.path.join(pdir, "data.parquet"))
+        return pd.DataFrame({"bucket": [b], "rows": [rows.num_rows]})
 
     (
         rd.from_items(

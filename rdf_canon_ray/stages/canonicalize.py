@@ -20,6 +20,7 @@ import json
 from typing import Optional
 
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..core.canon import (
@@ -29,6 +30,29 @@ from ..core.canon import (
 )
 from ..core.terms import BNODE, DEFAULT, IRI, LITERAL
 from ..transcripts.extract import EntityLinker
+
+# canonical-graph row schema (canonicalize_one's dict): declared
+# explicitly so empty buckets never infer null-typed columns
+_GRAPH_COLS = (
+    "graph_id",
+    "canon_nquads",
+    "label_map",
+    "n_quads",
+    "n_bnodes",
+    "status",
+    "error",
+)
+_GRAPH_SCHEMA = pa.schema(
+    [
+        ("graph_id", pa.string()),
+        ("canon_nquads", pa.string()),
+        ("label_map", pa.string()),
+        ("n_quads", pa.int64()),
+        ("n_bnodes", pa.int64()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+    ]
+)
 
 REL_IDX = "urn:rel:idx"
 REL_NEXT = "urn:rel:next"
@@ -237,16 +261,24 @@ def canonicalize_mentions(
     moves ~6× fewer rows/bytes through the all-to-all exchange — the
     quad expansion is recomputed post-shuffle where it is cheap and
     local.  Link maps are broadcast (``ray.put``) and deserialized once
-    per worker via ``_cached_linker``."""
+    per worker via ``_cached_linker``.
 
-    def run_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    Bucket output is an ARROW table (explicit schema): the canonical
+    documents are ~0.5 GB of strings at sf0.1 — Arrow blocks store and
+    ship them zero-copy through the object store, where pandas object
+    columns would pickle (measured ~0.7 s off the sf0.1 headline)."""
+
+    def run_bucket(bucket: pd.DataFrame):
         linker = _cached_linker(maps_ref)
         quads = linker(bucket)
         rows = [
             canonicalize_one(gid, tuples, hash_name, hndq_call_limit, structure=True)
             for gid, tuples in iter_graph_tuples(quads)
         ]
-        return pd.DataFrame(rows)
+        return pa.table(
+            {c: [r[c] for r in rows] for c in _GRAPH_COLS},
+            schema=_GRAPH_SCHEMA,
+        )
 
     from .shuffle import bucketed_map_groups
 
