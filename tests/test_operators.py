@@ -264,6 +264,22 @@ def test_ivf_topk_recall(ray_session):
     assert hits / total >= 0.5, f"recall {hits}/{total}"
 
 
+def test_ivf_persisted_multiprobe_recall(ray_session):
+    """The registered persisted-IVF query (6 of 16 lists probed) clears
+    recall@10 ≥ 0.9 vs brute force, and scores byte-match exact search
+    on shared pairs."""
+    from rdf_canon_ray.pipelines import corpus
+
+    exact = corpus.ann_topk(SF).to_pandas()
+    ivf = corpus.ann_ivf_persisted(SF).to_pandas()
+    merged = ivf.merge(
+        exact, on=["query_id", "vec_id"], suffixes=("_ivf", "_exact"),
+        how="inner",
+    )
+    assert (merged["score_ivf"] == merged["score_exact"]).all()
+    assert len(merged) / len(exact) >= 0.9, f"recall {len(merged)}/{len(exact)}"
+
+
 def test_media_resize_and_frames(ray_session):
     from rdf_canon_ray.pipelines import corpus
     from rdf_canon_ray.stages.multimodal import decode_ppm
