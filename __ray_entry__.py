@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "top_terms": analytics.top_terms,
         "doc_freq": analytics.doc_freq,
+        "token_zipf_alpha": analytics.token_zipf_alpha,
+        "dup_trigram_stats": analytics.dup_trigram_stats,
         "inverted_index": analytics.inverted_index,
         "distinct_terms_by_source": analytics.distinct_terms_by_source,
         "approx_distinct_terms": analytics.approx_distinct_terms,
@@ -269,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-text curation family
         "pii_redact": corpus.pii_redact,
         "line_dedup": corpus.line_dedup,
+        "web_domain_stats": corpus.web_domain_stats,
     }
 
 
@@ -504,6 +507,46 @@ FROM (SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents)
 GROUP BY term
 ORDER BY n DESC, term ASC
 LIMIT 100
+""",
+        # OLS slope of ln(freq) on ln(rank) over the top-100 terms;
+        # regr_slope(y, x) = covar_pop/var_pop == the numpy normal-eq
+        # form, ties ranked (n DESC, term) on both sides, 6 dp
+        "token_zipf_alpha": """
+WITH c AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents)
+  GROUP BY term
+), r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rnk FROM c
+)
+SELECT ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+         AS alpha,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM r WHERE rnk <= 100
+""",
+        # duplicate-span signal: distinct word trigrams per doc
+        # (list_zip of three equal-length slices), document frequency
+        # per trigram, dup = appears in >= 2 documents
+        "dup_trigram_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), tri AS (
+  SELECT doc_id, list_distinct(list_transform(
+           list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+           z -> z[1] || ' ' || z[2] || ' ' || z[3])) AS tris
+  FROM toks WHERE len(t) >= 3
+), x AS (
+  SELECT doc_id, UNNEST(tris) AS tri FROM tri
+), df AS (
+  SELECT tri, COUNT(*) AS d FROM x GROUP BY tri
+)
+SELECT x.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM x JOIN df USING (tri)
+GROUP BY x.doc_id
 """,
         "quality_scores": f"""
 WITH q AS (
@@ -874,6 +917,16 @@ SELECT w.doc_id,
            ln -> NOT list_contains(fl.fls, ln)), 'string_agg', chr(10)),
            '') AS clean_text
 FROM web w CROSS JOIN fl
+"""
+    extra["web_domain_stats"] = f"""
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{EMAIL_RE}'))
+              + len(regexp_extract_all(text, '{PHONE_RE}'))
+              + len(regexp_extract_all(text, '{IPV4_RE}'))) AS BIGINT)
+         AS n_pii
+FROM read_parquet('{web_pq}')
+GROUP BY 1
 """
     extra["media_feature_sums"] = f"""
 WITH m AS (

@@ -1593,6 +1593,140 @@ def top_terms(sf_dir: str, k: int = 100) -> rd.Dataset:
     return single_bucket_merge(pruned, final)
 
 
+def token_zipf_alpha(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Zipf-law slope of the corpus term-frequency distribution — the
+    corpus-health monitor a pretraining pipeline tracks per snapshot
+    (natural text sits near slope −1; template/spam-heavy crawls
+    flatten or steepen it).  OLS slope of ln(freq) on ln(rank) over the
+    top-``k`` terms (rank ties → term ascending, matching
+    ``top_terms``).  Scale shape: identical to ``top_terms`` (combiner
+    counts → bucketed sum → per-bucket top-k → one tiny merge); the
+    regression runs on ≤ k rows in the final task.
+
+    Output: one row (alpha rounded 6dp, n_terms)."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split().explode().value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = grouped_agg(
+        docs.map_batches(explode_count, batch_format="pandas", batch_size=2048),
+        ["term"],
+        {"n": "sum"},
+        num_buckets=64,
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    pruned = counts.map_batches(
+        local_topk, batch_format="pandas", batch_size=65536
+    )
+
+    def fit(bucket: pd.DataFrame) -> pd.DataFrame:
+        top = bucket.sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        y = np.log(top["n"].to_numpy(np.float64))
+        x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+        xm, ym = x.mean(), y.mean()
+        slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+        return pd.DataFrame(
+            {
+                "alpha": [round(float(slope), 6)],
+                "n_terms": np.asarray([len(top)], np.int64),
+            }
+        )
+
+    return single_bucket_merge(pruned, fit)
+
+
+def dup_trigram_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document duplicate-span signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of a
+    document's distinct word trigrams that also occur in at least one
+    OTHER document.  Fully co-partitioned — no trigram vocabulary ever
+    ships broadcast: per-batch distinct (doc, trigram) rows (grouped
+    shift, no per-token Python), one grouped count per trigram, one
+    partitioned hash join back on the trigram key, one doc-keyed
+    re-aggregate.  Documents with < 3 tokens have no trigrams and are
+    absent (inner semantics).
+
+    Output: (doc_id, n_tri, n_dup, dup_frac rounded 6dp)."""
+    from ..stages.joins import hash_join
+    from ..util import default_buckets
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tri_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch.set_index("doc_id")["text"].str.findall(r"\S+").explode()
+        )
+        df = toks.reset_index()
+        df.columns = ["doc_id", "tok"]
+        df = df[df["tok"].notna()]
+        g = df.groupby("doc_id", sort=False)["tok"]
+        tri = df["tok"] + " " + g.shift(-1) + " " + g.shift(-2)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "tri": tri.to_numpy()}
+        )
+        return out[out["tri"].notna()].drop_duplicates()
+
+    tris = docs.map_batches(
+        tri_rows, batch_format="pandas", batch_size=2048
+    ).materialize()  # feeds both the count exchange and the join
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tri": batch["tri"], "d": np.ones(len(batch), np.int64)}
+        )
+
+    tri_df = grouped_agg(
+        tris.map_batches(ones, batch_format="pandas", batch_size=32768),
+        ["tri"],
+        {"d": "sum"},
+        num_buckets=default_buckets(),
+    )
+    joined = hash_join(tris, tri_df, on="tri", num_buckets=default_buckets())
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_tri": np.ones(len(batch), np.int64),
+                "n_dup": (batch["d"].to_numpy() >= 2).astype(np.int64),
+            }
+        )
+
+    agg = grouped_agg(
+        joined.map_batches(contrib, batch_format="pandas", batch_size=32768),
+        ["doc_id"],
+        {"n_tri": "sum", "n_dup": "sum"},
+        num_buckets=32,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tri = batch["n_tri"].to_numpy(np.int64)
+        n_dup = batch["n_dup"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_tri": n_tri,
+                "n_dup": n_dup,
+                "dup_frac": np.round(
+                    n_dup.astype(np.float64) / n_tri.astype(np.float64), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=32768)
+
+
 def quality_filtered(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     """Quality-gate composition: score every document (QualityScore
     stage) and keep docs at or above the threshold — the standard

@@ -288,6 +288,55 @@ def line_dedup(sf_dir: str, freq_threshold: int = 5) -> rd.Dataset:
     )
 
 
+def web_domain_stats(sf_dir: str) -> rd.Dataset:
+    """Per-domain crawl curation stats over the web corpus: document
+    count and total PII spans (email+phone+IPv4) — the domain-level
+    signal a crawl pipeline uses to rank/block sources.  Map-only RE2
+    (Arrow kernels: domain extraction + span counts) with a per-batch
+    combiner, then one small grouped sum keyed on domain.
+
+    Output: (domain, n_docs, n_pii)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = rd.read_parquet(
+        web_corpus_parquet(), columns=["url", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        dom = pc.struct_field(
+            pc.extract_regex(batch["url"], r"https://(?P<d>[^/]+)/"), "d"
+        )
+        n_pii = pc.add(
+            pc.add(
+                pc.count_substring_regex(batch["text"], webtext.EMAIL_RE),
+                pc.count_substring_regex(batch["text"], webtext.PHONE_RE),
+            ),
+            pc.count_substring_regex(batch["text"], webtext.IPV4_RE),
+        )
+        t = pd.DataFrame(
+            {
+                "domain": dom.to_pandas().to_numpy(dtype=object),
+                "n_docs": np.ones(batch.num_rows, np.int64),
+                "n_pii": n_pii.to_pandas().to_numpy(np.int64),
+            }
+        )
+        return (
+            t.groupby("domain", sort=False)
+            .agg(n_docs=("n_docs", "sum"), n_pii=("n_pii", "sum"))
+            .reset_index()
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["domain"],
+        {"n_docs": "sum", "n_pii": "sum"},
+        num_buckets=8,
+    )
+
+
 MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256_v3.parquet"
 
 
