@@ -519,7 +519,7 @@ WITH c AS (
 ), r AS (
   SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rnk FROM c
 )
-SELECT ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+SELECT round_even(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
          AS alpha,
        CAST(COUNT(*) AS BIGINT) AS n_terms
 FROM r WHERE rnk <= 100
@@ -543,7 +543,7 @@ WITH toks AS (
 SELECT x.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tri,
        CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       ROUND(CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       round_even(CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS dup_frac
 FROM x JOIN df USING (tri)
 GROUP BY x.doc_id

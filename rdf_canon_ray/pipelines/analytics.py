@@ -2695,12 +2695,17 @@ def events_ts_pruned(sf_dir: str) -> rd.Dataset:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/rcr_cache/{tag}/events_by_ts"
-    if not os.path.isdir(path):
-        zonemap.zone_export(
-            _read(sf_dir, "events", columns=["event_id", "ts", "value"]),
-            path,
-            "ts",
-        )
+    # no isdir guard: zone_export's own fingerprint check must run so a
+    # regenerated source rebuilds the layout; the tag is the source
+    # file's (size, mtime) — metadata-only, no data scan
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    zonemap.zone_export(
+        _read(sf_dir, "events", columns=["event_id", "ts", "value"]),
+        path,
+        "ts",
+        input_tag=f"{src}|{st.st_size}|{int(st.st_mtime_ns)}",
+    )
     # deterministic bounds from the SOURCE footer stats (same min/max
     # the SQL side derives with MIN/MAX over the table)
     mn_ts, mx_ts = _footer_minmax(sf_dir, "events", "ts")

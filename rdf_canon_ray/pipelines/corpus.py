@@ -318,7 +318,11 @@ def web_domain_stats(sf_dir: str) -> rd.Dataset:
         )
         t = pd.DataFrame(
             {
-                "domain": dom.to_pandas().to_numpy(dtype=object),
+                # non-matching urls → '' domain (pandas groupby drops
+                # NaN keys; DuckDB regexp_extract returns '' — match it)
+                "domain": dom.to_pandas()
+                .fillna("")
+                .to_numpy(dtype=object),
                 "n_docs": np.ones(batch.num_rows, np.int64),
                 "n_pii": n_pii.to_pandas().to_numpy(np.int64),
             }

@@ -307,6 +307,8 @@ def _tree_reduce_blocks(
         for r in bundle.block_refs
     ]
     init = 0.0 if op == "sum" else np.inf
+    if not refs:  # empty graph: no updates, the init vector stands
+        return ray.put(np.full(int(n), init, np.float64))
     parts = [
         _dense_scatter.remote(n, init, col, *refs[i : i + fanin])
         for i in range(0, len(refs), fanin)
@@ -484,18 +486,20 @@ def triangle_counts(
             }
         )
 
+    # materialize once: the gate's count() and the chosen path's
+    # to_pandas()/join would otherwise each re-execute the exchange
     deg = grouped_agg(
         edges.map_batches(both_ends, batch_format="pandas"),
         ["node"],
         {"deg": "sum"},
         default_buckets(),
-    )
+    ).materialize()
     if (
         force_partitioned
         or deg.count() > broadcast_threshold
         or edges.count() > edge_broadcast_threshold
     ):
-        return _triangles_partitioned(edges, deg.materialize())
+        return _triangles_partitioned(edges, deg)
     deg_df = deg.to_pandas()
     # Dictionary-encode entities: order codes by (deg, iri) so the
     # orientation relation u≺v becomes plain integer < — every exchange

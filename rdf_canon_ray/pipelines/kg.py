@@ -463,8 +463,10 @@ def canonical_store(
     import pandas as pd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
+    # hash_name is part of the cache key: a sha256 store must never be
+    # served to a sha384 incremental merge
     out_dir = os.path.join(
-        cache_root, tag, f"canon_store_{num_buckets}_d{delta_mod}"
+        cache_root, tag, f"canon_store_{num_buckets}_d{delta_mod}_{hash_name}"
     )
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         return out_dir

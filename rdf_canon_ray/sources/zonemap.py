@@ -68,6 +68,12 @@ def zone_export(
         else f"{ds.count()}|{','.join(sorted(ds.schema().names))}"
     )
     mf = os.path.join(path, _MANIFEST)
+    # crash recovery: a rebuild swap that died between renames leaves
+    # the last good layout at path+'.stale' — restore it before the
+    # fingerprint check decides whether a rebuild is still needed
+    stale = path + ".stale"
+    if not os.path.isdir(path) and os.path.isdir(stale):
+        os.rename(stale, path)
     if os.path.isdir(path) and os.path.isfile(mf):
         with open(mf) as f:
             existing = json.load(f)
@@ -103,8 +109,12 @@ def zone_export(
     if os.path.isdir(path):
         # rebuild over a stale layout: atomic_publish_dir deliberately
         # lets an existing dir win (same-content race semantics), so
-        # swap the stale dir aside first
-        stale = path + ".stale"
+        # swap the stale dir aside first.  POSIX cannot replace a
+        # directory atomically; a crash between the two renames leaves
+        # the old layout at path+'.stale' and the recovery branch above
+        # restores it on the next call.  Concurrent READERS of the same
+        # /tmp cache path can observe the brief gap — this is a
+        # single-driver scratch cache, not a shared store.
         shutil.rmtree(stale, ignore_errors=True)
         os.rename(path, stale)
         out = atomic_publish_dir(tmp, path)

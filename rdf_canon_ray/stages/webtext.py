@@ -199,9 +199,9 @@ def frequent_lines(
     partitioned rewrite (``remove_boilerplate`` switches
     automatically)."""
     freq = line_frequencies(ds, text_col, num_buckets)
-    hot = freq.filter(expr=f"n >= {int(freq_threshold)}")
+    hot = freq.filter(expr=f"n >= {int(freq_threshold)}").materialize()
     if broadcast_threshold is not None:
-        n_hot = hot.materialize().count()
+        n_hot = hot.count()
         if n_hot > broadcast_threshold:
             raise ValueError(
                 f"frequent-line set has {n_hot} entries > broadcast "
