@@ -88,43 +88,133 @@ def _resident_graph(
     return rg
 
 
+# --- compact entity codes for the graph exchanges --------------------
+#
+# Every mention entity IRI is `urn:ent:<kind>:<int key>` with kind ∈
+# {order, cust, part, supp}; the graph-side exchanges (pair expansion,
+# mirror, adjacency pack) carry MILLIONS of them, and a ~35-byte Python
+# string per endpoint is 3-5× the bytes and far more object-store/
+# serialize cost than one int64.  The code is derived arithmetically —
+# kind_id << 40 | key (keys are < 2^40 at any scale this corpus
+# reaches; 2^40 ≈ 1.1e12 orders ≫ a 100 TB corpus's key space) — so no
+# broadcast dictionary is needed and decode is a vectorized string
+# concat at the (node-scale) output edge.
+
+_ENT_KINDS = ("order", "cust", "part", "supp")
+_ENT_PREFIX = np.asarray(
+    ["urn:e:" + k + ":" for k in _ENT_KINDS], dtype=object
+)  # matches transcripts.extract.ENT
+_CODE_KEY_MASK = (1 << 40) - 1
+
+
+def _encode_mentions(batch) -> pd.DataFrame:
+    """Arrow mention batch → (conv_id, ecode int64), batch-deduped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ext = pc.extract_regex(
+        batch["entity_iri"],
+        r"^urn:e:(?P<k>order|cust|part|supp):(?P<key>[0-9]+)$",
+    )
+    if batch.num_rows and pc.any(pc.is_null(ext)).as_py():
+        raise ValueError(
+            "unrecognized entity IRI shape in mention batch — the "
+            "arithmetic entity coding covers urn:e:<kind>:<int> only"
+        )
+    kind = pc.struct_field(ext, "k").to_pandas().to_numpy(dtype=object)
+    key = (
+        pc.cast(pc.struct_field(ext, "key"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    kid = np.select(
+        [kind == k for k in _ENT_KINDS],
+        np.arange(len(_ENT_KINDS), dtype=np.int64),
+        default=-1,
+    ).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "conv_id": batch["conv_id"].to_pandas(),
+            "ecode": (kid << np.int64(40)) | key,
+        }
+    )
+    return out.drop_duplicates()
+
+
+def _decode_codes(codes: np.ndarray) -> np.ndarray:
+    """int64 entity codes → IRI object-string array (vectorized)."""
+    codes = np.asarray(codes, np.int64)
+    kid = (codes >> np.int64(40)).astype(np.int64)
+    key = codes & np.int64(_CODE_KEY_MASK)
+    return np.char.add(
+        _ENT_PREFIX[kid].astype("U"), key.astype("U")
+    ).astype(object)
+
+
 def _conv_pairs_expanded(
     sf_dir: str, max_conv_entities: Optional[int]
 ) -> rd.Dataset:
-    """(e1 < e2) co-mention pairs, deduped per conversation (one
-    bucketed exchange: the conv bucket owns every mention of its
-    conversations, so the global (conv, entity) dedup happens in-bucket
-    before expansion).  Materialized + cached per (sf_dir, cap)."""
+    """(c1 < c2) co-mention pairs as int64 entity CODES, deduped per
+    conversation (one bucketed exchange: the conv bucket owns every
+    mention of its conversations, so the global (conv, entity) dedup
+    happens in-bucket before expansion).  Materialized + cached per
+    (sf_dir, cap).  Code order ≠ IRI string order; consumers that
+    expose string edges re-orient after decoding
+    (``comention_edges``)."""
     key = (os.path.abspath(sf_dir), max_conv_entities)
     hit = _PAIRS_CACHE.get(key)
     if hit is not None:
         return hit
     ments = _link_batches(sf_dir, None, "mentions")
 
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"conv_id": batch["conv_id"], "entity_iri": batch["entity_iri"]}
-        ).drop_duplicates()
-
     projected = ments.map_batches(
-        project, batch_format="pandas", batch_size=32768
+        _encode_mentions, batch_format="pyarrow", batch_size=32768
     )
 
     def expand(bucket: pd.DataFrame) -> pd.DataFrame:
         bucket = bucket.drop_duplicates()
         if max_conv_entities is not None:
+            # the cap contract is lexicographically-first by IRI —
+            # decode for the sort key only (cap paths are small/tests)
+            b = bucket.assign(_iri=_decode_codes(bucket["ecode"].to_numpy()))
             bucket = (
-                bucket.sort_values(["conv_id", "entity_iri"])
+                b.sort_values(["conv_id", "_iri"])
                 .groupby("conv_id", sort=False)
                 .head(max_conv_entities)
+                .drop(columns=["_iri"])
             )
-        m = bucket.merge(bucket, on="conv_id")
-        m = m[m["entity_iri_x"] < m["entity_iri_y"]]
-        return (
-            m.rename(columns={"entity_iri_x": "e1", "entity_iri_y": "e2"})[
-                ["e1", "e2"]
-            ].drop_duplicates()
-        )
+        # triu expansion on sorted segments: emits exactly the k·(k−1)/2
+        # ordered pairs per conversation (a pandas self-merge builds 2×
+        # the rows and filters half away)
+        b = bucket.sort_values(["conv_id", "ecode"], kind="mergesort")
+        conv = b["conv_id"].to_numpy()
+        code = b["ecode"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], len(conv)]
+        triu_cache: dict = {}
+        az: list = []
+        bz: list = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu_ju = triu_cache.get(k)
+            if iu_ju is None:
+                iu_ju = np.triu_indices(k, 1)
+                triu_cache[k] = iu_ju
+            seg = code[s:e]
+            az.append(seg[iu_ju[0]])
+            bz.append(seg[iu_ju[1]])
+        if not az:
+            return pd.DataFrame(
+                {
+                    "c1": pd.Series([], dtype=np.int64),
+                    "c2": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {"c1": np.concatenate(az), "c2": np.concatenate(bz)}
+        ).drop_duplicates()
 
     out = bucketed_map_groups(
         projected, ["conv_id"], expand, default_buckets()
@@ -136,11 +226,26 @@ def _conv_pairs_expanded(
 def comention_edges(
     sf_dir: str, max_conv_entities: Optional[int] = None
 ) -> rd.Dataset:
-    """Undirected distinct co-mention edges (e1 < e2)."""
-    return distinct(
+    """Undirected distinct co-mention edges (e1 < e2, IRI string
+    order): code pairs dedup in their (c1, c2) bucket, then decode +
+    re-orient to string order map-side (each unordered pair exists
+    exactly once, so the swap is per-row local)."""
+    pairs = distinct(
         _conv_pairs_expanded(sf_dir, max_conv_entities),
-        ["e1", "e2"],
+        ["c1", "c2"],
         default_buckets(),
+    )
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        a = _decode_codes(batch["c1"].to_numpy())
+        b = _decode_codes(batch["c2"].to_numpy())
+        swap = b < a
+        return pd.DataFrame(
+            {"e1": np.where(swap, b, a), "e2": np.where(swap, a, b)}
+        )
+
+    return pairs.map_batches(
+        decode, batch_format="pandas", batch_size=65536
     )
 
 
@@ -159,8 +264,8 @@ def _packed_adjacency(
     pairs = _conv_pairs_expanded(sf_dir, max_conv_entities)
 
     def mirror(batch: pd.DataFrame) -> pd.DataFrame:
-        a = pd.DataFrame({"dst": batch["e2"], "src": batch["e1"]})
-        b = pd.DataFrame({"dst": batch["e1"], "src": batch["e2"]})
+        a = pd.DataFrame({"dst": batch["c2"], "src": batch["c1"]})
+        b = pd.DataFrame({"dst": batch["c1"], "src": batch["c2"]})
         return pd.concat([a, b], ignore_index=True)
 
     sym = pairs.map_batches(mirror, batch_format="pandas", batch_size=32768)
@@ -208,31 +313,60 @@ def _encoded_adjacency(
     adj: rd.Dataset, deg_df: pd.DataFrame
 ) -> tuple[rd.Dataset, np.ndarray, np.ndarray]:
     """Dictionary-encode the packed adjacency ONCE: nodes → dense int32
-    codes (one broadcast of the node→code map), so every subsequent
-    iteration gathers with plain numpy fancy indexing instead of
-    hash-probing ~2|E| object strings per round (the dominant cost of
-    the string-keyed step — same trick as ``triangle_counts``).
-    Returns (encoded adjacency with (code, srcs int32 list), nodes
-    array in code order, degree array in code order)."""
-    nodes = deg_df["node"].to_numpy()
+    ids, so every subsequent iteration gathers with plain numpy fancy
+    indexing instead of hash-probing ~2|E| keys per round.  Two encode
+    paths by node dtype: int64 entity CODES (the production co-mention
+    graph — a sorted array + ``searchsorted``, no Python objects cross
+    the wire) and object strings (generic/test graphs — the pandas
+    reindex map).  Returns (encoded adjacency with (code, srcs int32
+    list), node IRI strings in dense-id order, degrees in dense-id
+    order)."""
+    nodes_raw = deg_df["node"].to_numpy()
     deg = deg_df["deg"].to_numpy().astype(np.float64)
-    code_s = pd.Series(np.arange(len(nodes), dtype=np.int64), index=nodes)
-    code_ref = ray.put(code_s)
+    if nodes_raw.dtype.kind in "iu":
+        codes = nodes_raw.astype(np.int64)
+        nodes = _decode_codes(codes)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        lookup_ref = ray.put((sorted_codes, order.astype(np.int64)))
 
-    def encode(batch: pd.DataFrame) -> pd.DataFrame:
-        s: pd.Series = ray.get(code_ref)
-        lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
-        flat = np.concatenate(
-            [np.asarray(x, dtype=object) for x in batch["srcs"]]
-        )
-        codes = s.reindex(flat).to_numpy().astype(np.int32)
-        splits = np.split(codes, np.cumsum(lens)[:-1])
-        return pd.DataFrame(
-            {
-                "code": s.reindex(batch["node"].to_numpy()).to_numpy(np.int64),
-                "srcs": splits,
-            }
-        )
+        def encode(batch: pd.DataFrame) -> pd.DataFrame:
+            sc, inv = ray.get(lookup_ref)
+            lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in batch["srcs"]]
+            )
+            dense = inv[np.searchsorted(sc, flat)].astype(np.int32)
+            splits = np.split(dense, np.cumsum(lens)[:-1])
+            node_codes = batch["node"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "code": inv[np.searchsorted(sc, node_codes)],
+                    "srcs": splits,
+                }
+            )
+
+    else:
+        nodes = nodes_raw
+        code_s = pd.Series(np.arange(len(nodes), dtype=np.int64), index=nodes)
+        code_ref = ray.put(code_s)
+
+        def encode(batch: pd.DataFrame) -> pd.DataFrame:
+            s: pd.Series = ray.get(code_ref)
+            lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in batch["srcs"]]
+            )
+            codes = s.reindex(flat).to_numpy().astype(np.int32)
+            splits = np.split(codes, np.cumsum(lens)[:-1])
+            return pd.DataFrame(
+                {
+                    "code": s.reindex(batch["node"].to_numpy()).to_numpy(
+                        np.int64
+                    ),
+                    "srcs": splits,
+                }
+            )
 
     enc = adj.map_batches(
         encode, batch_format="pandas", batch_size=8192
