@@ -269,14 +269,27 @@ def local_supplier_volume(
         "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    fact = hash_join(
-        lineitem,
-        ord_cust.map_batches(
-            lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
-                ["l_orderkey", "c_nationkey"]
-            ],
-            batch_format="pandas",
+    # date-surviving orderkeys as int64 (the join's side-union widens
+    # the key to float64; the Bloom hash is dtype-sensitive)
+    right = ord_cust.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+            }
         ),
+        batch_format="pandas",
+    ).materialize()  # feeds the Bloom build AND the join
+    # Bloom prefilter before the big exchange: only ~30% of orders
+    # survive the date window, so ~70% of lineitem rows are guaranteed
+    # non-matching — drop them map-side for 128 KiB of broadcast bits
+    # (false positives pass and the exact join removes them)
+    from ..stages.joins import bloom_prefilter, build_bloom
+
+    bits_ref = build_bloom(right, "l_orderkey")
+    fact = hash_join(
+        bloom_prefilter(lineitem, "l_orderkey", bits_ref),
+        right,
         on="l_orderkey",
         num_buckets=32,
     )
