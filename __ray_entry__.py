@@ -210,7 +210,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_zipf_alpha": analytics.token_zipf_alpha,
         "dup_trigram_stats": analytics.dup_trigram_stats,
         "bpe_pair_counts": analytics.bpe_pair_counts,
-        "embed_covariance": analytics.embed_covariance,
         "inverted_index": analytics.inverted_index,
         "distinct_terms_by_source": analytics.distinct_terms_by_source,
         "approx_distinct_terms": analytics.approx_distinct_terms,
@@ -544,27 +543,6 @@ SELECT pair, CAST(SUM(c) AS BIGINT) AS n
 FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
-""",
-        # population covariance of the embedding dims (upper triangle,
-        # 1-based); engine computes XtX/n - mu mu^T, SQL the same
-        # moments — round_even 6dp both sides
-        "embed_covariance": """
-WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS i),
-prs AS (
-  SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON a.i <= b.i
-),
-m AS (
-  SELECT prs.i, prs.j,
-         avg(CAST(embedding[prs.i] AS DOUBLE)
-             * CAST(embedding[prs.j] AS DOUBLE)) AS exy,
-         avg(CAST(embedding[prs.i] AS DOUBLE)) AS ex,
-         avg(CAST(embedding[prs.j] AS DOUBLE)) AS ey
-  FROM embeddings CROSS JOIN prs
-  GROUP BY prs.i, prs.j
-)
-SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-       round_even(exy - ex * ey, 6) AS cov
-FROM m
 """,
         # duplicate-span signal: distinct word trigrams per doc
         # (list_zip of three equal-length slices), document frequency

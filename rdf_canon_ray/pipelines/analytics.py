@@ -1740,56 +1740,6 @@ def dup_trigram_stats(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pandas", batch_size=32768)
 
 
-def embed_covariance(sf_dir: str) -> rd.Dataset:
-    """Embedding-dimension covariance matrix (upper triangle) — the
-    whitening / drift-monitoring statistic an embedding pipeline
-    derives per corpus snapshot.  One-pass distributed moments: each
-    batch emits (Xᵀ X, Σx, n) partials (a 64×64 float64 block — 32 KiB
-    regardless of corpus size), a single tiny merge sums them, and the
-    population covariance reads off cov = S_ij/n − μ_i μ_j.  The
-    corpus never shuffles; only fixed-size moment blocks move.
-
-    Output: (i, j, cov[6dp]) for 1-based i ≤ j."""
-    from ..stages.shuffle import single_bucket_merge
-
-    emb = _read(sf_dir, "embeddings", columns=["embedding"])
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame(
-            {
-                "xtx": [(x.T @ x).tobytes()],
-                "sx": [x.sum(axis=0).tobytes()],
-                "n": np.asarray([len(x)], np.int64),
-                "d": np.asarray([x.shape[1]], np.int64),
-            }
-        )
-
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        d = int(bucket["d"].iloc[0])
-        xtx = np.zeros((d, d), np.float64)
-        sx = np.zeros(d, np.float64)
-        for xb, sb in zip(bucket["xtx"], bucket["sx"]):
-            xtx += np.frombuffer(xb, np.float64).reshape(d, d)
-            sx += np.frombuffer(sb, np.float64)
-        n = float(bucket["n"].sum())
-        mu = sx / n
-        cov = xtx / n - np.outer(mu, mu)
-        iu = np.triu_indices(d)
-        return pd.DataFrame(
-            {
-                "i": (iu[0] + 1).astype(np.int64),
-                "j": (iu[1] + 1).astype(np.int64),
-                "cov": np.round(cov[iu], 6),
-            }
-        )
-
-    return single_bucket_merge(
-        emb.map_batches(partial, batch_format="pandas", batch_size=4096),
-        merge,
-    )
-
-
 def bpe_pair_counts(sf_dir: str, k: int = 20) -> rd.Dataset:
     """First BPE merge iteration — the tokenizer-training primitive:
     corpus-weighted counts of adjacent character pairs within words,
