@@ -68,3 +68,24 @@ def test_canonicalization_idempotent():
         once = canonicalize(quads, hash_name=hash_name)
         twice = canonicalize(nquads.parse(once), hash_name=hash_name)
         assert twice == once
+
+
+def test_urdna2015_legacy_fixtures():
+    """The reference ships 69 legacy URDNA2015 fixtures (unreferenced
+    by its own harness); RDFC-1.0 is standardized URDNA2015, so every
+    one must canonicalize byte-exact with the default settings."""
+    import glob
+
+    from rdf_canon_ray.core import canonicalize, nquads
+
+    root = "/root/reference/tests/urdna2015"
+    ins = sorted(glob.glob(os.path.join(root, "*-in.nq")))
+    checked = 0
+    for f in ins:
+        exp_f = f.replace("-in.nq", "-urdna2015.nq")
+        if not os.path.exists(exp_f):
+            continue
+        with open(exp_f) as fh:
+            assert canonicalize(nquads.parse_file(f)) == fh.read(), f
+        checked += 1
+    assert checked == 69
