@@ -66,6 +66,23 @@ _ADJ_CACHE: dict = {}
 _ENC_CACHE: dict = {}
 
 
+def _corpus_tag(sf_dir: str) -> tuple:
+    """Cache-key component tying the process-level graph caches to the
+    transcript corpus CONTENT, not just its path: (name, size, mtime)
+    of every cache file — metadata-only stats, no data read.  An
+    in-place regeneration of the corpus changes the tag and the stale
+    pair/adjacency/encoded entries stop matching (the zonemap
+    fingerprint fix, applied to the in-memory caches)."""
+    from .kg import transcripts_parquet
+
+    d = transcripts_parquet(sf_dir)
+    return tuple(
+        (n, st.st_size, st.st_mtime_ns)
+        for n in sorted(os.listdir(d))
+        for st in [os.stat(os.path.join(d, n))]
+    )
+
+
 def _resident_graph(
     sf_dir: str,
     max_conv_entities: Optional[int],
@@ -75,7 +92,7 @@ def _resident_graph(
     family, cached per (sf_dir, cap) — pagerank and BFS in the same
     process share one pack + encode.  Returns None above the node gate
     (callers fall back to their partitioned mode)."""
-    key = (os.path.abspath(sf_dir), max_conv_entities)
+    key = (os.path.abspath(sf_dir), max_conv_entities, _corpus_tag(sf_dir))
     hit = _ENC_CACHE.get(key)
     if hit is not None:
         return hit if len(hit[1]) <= broadcast_threshold else None
@@ -90,7 +107,7 @@ def _resident_graph(
 
 # --- compact entity codes for the graph exchanges --------------------
 #
-# Every mention entity IRI is `urn:ent:<kind>:<int key>` with kind ∈
+# Every mention entity IRI is `urn:e:<kind>:<int key>` with kind ∈
 # {order, cust, part, supp}; the graph-side exchanges (pair expansion,
 # mirror, adjacency pack) carry MILLIONS of them, and a ~35-byte Python
 # string per endpoint is 3-5× the bytes and far more object-store/
@@ -161,7 +178,7 @@ def _conv_pairs_expanded(
     (sf_dir, cap).  Code order ≠ IRI string order; consumers that
     expose string edges re-orient after decoding
     (``comention_edges``)."""
-    key = (os.path.abspath(sf_dir), max_conv_entities)
+    key = (os.path.abspath(sf_dir), max_conv_entities, _corpus_tag(sf_dir))
     hit = _PAIRS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -257,7 +274,7 @@ def _packed_adjacency(
     (dst, src) row, so global edge dedup AND packing happen in the same
     single exchange; deg(node) = len(srcs) because the graph is
     symmetric.  Materialized + cached per (sf_dir, cap)."""
-    key = (os.path.abspath(sf_dir), max_conv_entities)
+    key = (os.path.abspath(sf_dir), max_conv_entities, _corpus_tag(sf_dir))
     hit = _ADJ_CACHE.get(key)
     if hit is not None:
         return hit
