@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_resampled": corpus.media_audio_resampled,
         "media_stats": corpus.media_stats,
         "media_dhash": corpus.media_dhash,
+        "media_dhash_pairs": corpus.media_dhash_pairs,
         # web-text curation family
         "pii_redact": corpus.pii_redact,
         "line_dedup": corpus.line_dedup,
@@ -1012,6 +1013,20 @@ SELECT media_id,
                 1 + 8 * b[4 * n + 1] + 4 * b[4 * n + 2]
                   + 2 * b[4 * n + 3] + b[4 * n + 4], 1)), '') AS dhash
 FROM bits
+"""
+    # image near-dup pairs: recompute every dHash from payload bytes
+    # (the media_dhash CTE), then exact hamming via bit_count(xor) —
+    # the banded-LSH engine path is recall-1.0 for hamming <= 7, so
+    # the all-pairs SQL is an equivalent spec, not an approximation
+    extra["media_dhash_pairs"] = f"""
+WITH h AS (
+  SELECT media_id, CAST('0x' || dhash AS UBIGINT) AS h
+  FROM ({extra["media_dhash"]}) d
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h, b.h)) <= 7
 """
     extra["repetition_stats"] = """
 WITH base AS (

@@ -341,7 +341,7 @@ def web_domain_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
-MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256_v3.parquet"
+MEDIA_PARQUET = "/tmp/rcr_cache/media_corpus_256_v4.parquet"
 
 
 def media_corpus_parquet(path: str = MEDIA_PARQUET) -> str:
@@ -393,7 +393,9 @@ def media_resized_sums(sf_dir: str, out_w: int = 6, out_h: int = 4) -> rd.Datase
             )
             if k == "image" and ok
         ]
-        sub = batch.take(keep)
+        # typed indices: an EMPTY python list infers a null array and
+        # Arrow take has no (T, null) kernel
+        sub = batch.take(pa.array(keep, pa.int64()))
         sums = []
         for payload in sub["payload"].to_pylist():
             img = multimodal.decode_ppm(payload)
@@ -421,7 +423,9 @@ def media_audio_resampled(sf_dir: str, factor: int = 4) -> rd.Dataset:
 
     def project(batch: pa.Table) -> pa.Table:
         keep = [i for i, ok in enumerate(batch["resampled"].to_pylist()) if ok]
-        sub = batch.take(keep)
+        # typed indices: an EMPTY python list infers a null array and
+        # Arrow take has no (T, null) kernel
+        sub = batch.take(pa.array(keep, pa.int64()))
         sums = []
         for payload in sub["payload"].to_pylist():
             samples = multimodal.decode_wav(payload)
@@ -1579,6 +1583,121 @@ def media_dhash(sf_dir: str) -> rd.Dataset:
     hash.  DuckDB recomputes every sampled byte from hex(payload), so
     the full decode→sample→compare→pack chain is oracle-checked."""
     return multimodal.image_dhash(_media_ds())
+
+
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)  # byte → popcount lookup
+
+
+def media_dhash_pairs(sf_dir: str, max_hamming: int = 7) -> rd.Dataset:
+    """Image NEAR-DUP pairs by banded perceptual-hash LSH — the
+    multimodal dedup operator (find re-encodes / brightness variants
+    without any all-pairs scan): each image's 64-bit dHash splits into
+    8 one-byte bands; two hashes within hamming distance ≤ 7 MUST agree
+    on at least one band (pigeonhole), so bucketing on (band, value)
+    has recall 1.0 — the operator is EXACT, not approximate, and fully
+    oracle-checkable.  Candidates pair inside their band bucket, dedup
+    in one (id_a, id_b) exchange, and the exact hamming verify runs
+    map-only on the carried hashes (vectorized byte-popcount).
+
+    Output: (media_id_a, media_id_b, hamming ≤ ``max_hamming``)."""
+    from ..stages.shuffle import bucketed_map_groups, grouped_agg
+    from ..util import default_buckets
+
+    if max_hamming > 7:
+        raise ValueError(
+            "8 one-byte bands guarantee recall 1.0 only for "
+            f"hamming <= 7 (got {max_hamming}); add bands to raise it"
+        )
+    hashes = multimodal.image_dhash(_media_ds())
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        import binascii
+
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "band": pd.Series([], dtype=np.int64),
+                    "val": pd.Series([], dtype=np.int64),
+                    "media_id": pd.Series([], dtype=np.int64),
+                    "h": pd.Series([], dtype=np.int64),
+                }
+            )
+        hx = "".join(batch["dhash"])
+        by = np.frombuffer(binascii.unhexlify(hx), np.uint8).reshape(-1, 8)
+        h64 = by.copy().view(">u8").ravel().astype(np.uint64)
+        n = len(batch)
+        ids = batch["media_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(8, dtype=np.int64), n),
+                "val": by.ravel().astype(np.int64),
+                "media_id": np.repeat(ids, 8),
+                "h": np.repeat(h64.view(np.int64), 8),
+            }
+        )
+
+    banded = hashes.map_batches(bands, batch_format="pandas", batch_size=4096)
+
+    def candidates(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in bucket.groupby(["band", "val"], sort=False):
+            u = sub[["media_id", "h"]].drop_duplicates("media_id")
+            if len(u) < 2:
+                continue
+            u = u.sort_values("media_id")
+            ids = u["media_id"].to_numpy(np.int64)
+            hs = u["h"].to_numpy(np.int64)
+            ia, ib = np.triu_indices(len(ids), 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "media_id_a": ids[ia],
+                        "media_id_b": ids[ib],
+                        "h_a": hs[ia],
+                        "h_b": hs[ib],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=np.int64)
+                    for c in ["media_id_a", "media_id_b", "h_a", "h_b"]
+                }
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            ["media_id_a", "media_id_b"]
+        )
+
+    cand = grouped_agg(
+        bucketed_map_groups(
+            banded, ["band", "val"], candidates, default_buckets()
+        ),
+        ["media_id_a", "media_id_b"],
+        {"h_a": "min", "h_b": "min"},  # h is functionally dependent on id
+        num_buckets=16,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            batch["h_a"].to_numpy(np.int64).view(np.uint64)
+            ^ batch["h_b"].to_numpy(np.int64).view(np.uint64)
+        )
+        ham = _POP8[
+            x.copy().view(np.uint8).reshape(-1, 8)
+        ].sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "media_id_a": batch["media_id_a"].to_numpy(np.int64)[keep],
+                "media_id_b": batch["media_id_b"].to_numpy(np.int64)[keep],
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pandas", batch_size=65536)
 
 
 def snapshot_upsert(sf_dir: str) -> rd.Dataset:

@@ -161,20 +161,30 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 # ------------------------------------------------------- synth corpus
-def synth_media_table(n: int = 256, seed: int = 5) -> pa.Table:
+def synth_media_table(
+    n: int = 256, seed: int = 5, n_near_dups: int = 24
+) -> pa.Table:
     """Deterministic synthetic media corpus with DECODABLE payloads:
     PPM images (16–32 px), 8-bit PCM WAV audio (8 kHz), RCRV video
     (8×8 grayscale frames, 1 fps).  ``width``/``height``/``duration_ms``
-    metadata columns are truthful for the encoded content."""
+    metadata columns are truthful for the encoded content.
+
+    ``n_near_dups`` appends perceptual NEAR-DUPLICATE image variants
+    (media_ids continue after ``n``): every 3rd variant is a pixel-exact
+    re-encode of an earlier image (dHash hamming 0), the rest get a
+    uniform +6 brightness shift (dHash is gradient-sign based, so only
+    saturated pixels flip bits → small nonzero hamming) — the planted
+    positives the image near-dup operator and its oracle detect."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
     payloads, widths, heights, durations = [], [], [], []
+    base_images: list = []  # (array, w, h) of image rows, in order
     for kind in kinds:
         if kind == "image":
             w, h = int(rng.randint(16, 33)), int(rng.randint(16, 33))
-            payloads.append(
-                encode_ppm(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
-            )
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            base_images.append((img, w, h))
+            payloads.append(encode_ppm(img))
             widths.append(w)
             heights.append(h)
             durations.append(0)
@@ -194,10 +204,24 @@ def synth_media_table(n: int = 256, seed: int = 5) -> pa.Table:
             widths.append(8)
             heights.append(8)
             durations.append(nf * 1000)
+    kinds_all = list(kinds)
+    for v in range(min(n_near_dups, len(base_images))):
+        img, w, h = base_images[v]
+        if v % 3 == 0:
+            var = img  # pixel-exact re-encode → hamming 0
+        else:
+            var = np.clip(img.astype(np.int16) + 6, 0, 255).astype(
+                np.uint8
+            )
+        kinds_all.append("image")
+        payloads.append(encode_ppm(var))
+        widths.append(w)
+        heights.append(h)
+        durations.append(0)
     return pa.table(
         {
-            "media_id": pa.array(np.arange(n), pa.int64()),
-            "kind": pa.array(kinds),
+            "media_id": pa.array(np.arange(len(kinds_all)), pa.int64()),
+            "kind": pa.array(kinds_all),
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(np.asarray(widths, np.int32)),
             "height": pa.array(np.asarray(heights, np.int32)),

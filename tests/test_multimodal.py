@@ -286,3 +286,27 @@ def test_dhash_near_dup_small_hamming(ray_session):
 
     assert ham(got[0], got[1]) <= 4       # near-dup: tiny distance
     assert ham(got[0], got[2]) >= 16      # unrelated: far apart
+
+
+def test_media_dhash_pairs_exact_vs_brute_force(ray_session):
+    """Banded dHash LSH (8 one-byte bands) is EXACT for hamming <= 7:
+    the pair set must equal the all-pairs brute force, and the planted
+    near-dup variants (v4 corpus) must be found."""
+    import numpy as np
+
+    from rdf_canon_ray.pipelines import corpus
+
+    got = corpus.media_dhash_pairs("unused").to_pandas()
+    d = corpus.media_dhash("unused").to_pandas()
+    h = np.array([int(x, 16) for x in d["dhash"]], dtype=np.uint64)
+    ids = d["media_id"].to_numpy()
+    exp = set()
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            ham = bin(int(h[i] ^ h[j])).count("1")
+            if ham <= 7:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                exp.add((a, b, ham))
+    assert set(zip(got["media_id_a"], got["media_id_b"], got["hamming"])) == exp
+    assert len(exp) >= 20  # the planted variants are present
+    assert (got["hamming"] == 0).any()  # pixel-exact re-encodes
