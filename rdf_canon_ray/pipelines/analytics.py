@@ -1620,7 +1620,8 @@ def token_zipf_alpha(sf_dir: str, k: int = 100) -> rd.Dataset:
     docs = _read(sf_dir, "documents", columns=["text"])
 
     def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["text"].str.split().explode().value_counts()
+        # findall(\S+) == the oracle's RE2 tokenization
+        vc = batch["text"].str.findall(r"\S+").explode().value_counts()
         return pd.DataFrame(
             {"term": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
         )
@@ -1755,7 +1756,9 @@ def bpe_pair_counts(sf_dir: str, k: int = 20) -> rd.Dataset:
     docs = _read(sf_dir, "documents", columns=["text"])
 
     def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        wc = batch["text"].str.split().explode().value_counts()
+        # findall(\S+) matches the oracle's RE2 tokenization exactly
+        # (str.split() also splits on \x0b etc.)
+        wc = batch["text"].str.findall(r"\S+").explode().value_counts()
         pairs: dict = {}
         for word, c in wc.items():
             for a, b in zip(word, word[1:]):

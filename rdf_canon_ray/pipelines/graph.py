@@ -47,7 +47,7 @@ import ray.data as rd
 from ..stages.joins import hash_join
 from ..stages.shuffle import bucketed_map_groups, distinct, grouped_agg
 from ..util import default_buckets
-from .kg import _link_batches
+from .kg import _link_batches, transcripts_parquet
 
 DAMPING = 0.85
 TELEPORT = 0.15
@@ -73,14 +73,21 @@ def _corpus_tag(sf_dir: str) -> tuple:
     in-place regeneration of the corpus changes the tag and the stale
     pair/adjacency/encoded entries stop matching (the zonemap
     fingerprint fix, applied to the in-memory caches)."""
-    from .kg import transcripts_parquet
-
     d = transcripts_parquet(sf_dir)
     return tuple(
         (n, st.st_size, st.st_mtime_ns)
         for n in sorted(os.listdir(d))
         for st in [os.stat(os.path.join(d, n))]
     )
+
+
+def _cache_put(cache: dict, key: tuple, val):
+    """Insert evicting same-(path, cap) entries with a DIFFERENT corpus
+    tag — a regenerated corpus must not leave its predecessor's
+    node/edge-scale materialized Datasets pinned in the process."""
+    for k in [k for k in cache if k[:2] == key[:2] and k != key]:
+        del cache[k]
+    cache[key] = val
 
 
 def _resident_graph(
@@ -101,7 +108,7 @@ def _resident_graph(
         return None
     deg_df = adj.select_columns(["node", "deg"]).to_pandas()
     rg = _encoded_adjacency(adj, deg_df)
-    _ENC_CACHE[key] = rg
+    _cache_put(_ENC_CACHE, key, rg)
     return rg
 
 
@@ -144,6 +151,11 @@ def _encode_mentions(batch) -> pd.DataFrame:
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
+    if len(key) and int(key.max()) >= (1 << 40):
+        raise ValueError(
+            "entity key >= 2^40 would bleed into the code's kind bits — "
+            "widen the arithmetic entity coding"
+        )
     kid = np.select(
         [kind == k for k in _ENT_KINDS],
         np.arange(len(_ENT_KINDS), dtype=np.int64),
@@ -236,7 +248,7 @@ def _conv_pairs_expanded(
     out = bucketed_map_groups(
         projected, ["conv_id"], expand, default_buckets()
     ).materialize()
-    _PAIRS_CACHE[key] = out
+    _cache_put(_PAIRS_CACHE, key, out)
     return out
 
 
@@ -306,7 +318,7 @@ def _packed_adjacency(
     out = bucketed_map_groups(
         sym, ["dst"], pack, default_buckets()
     ).materialize()
-    _ADJ_CACHE[key] = out
+    _cache_put(_ADJ_CACHE, key, out)
     return out
 
 
@@ -621,16 +633,24 @@ def triangle_counts(
 
     Output: (entity_iri, n_triangles, clustering) for every node in at
     least one triangle; clustering = 2·T / (deg·(deg−1)), half-even
-    6 dp.  The oracle replays the same orientation in SQL."""
-    edges = comention_edges(sf_dir, max_conv_entities).materialize()
+    6 dp.  Counts and clustering are orientation-INVARIANT, so the
+    engine orients by (deg, code) while the SQL oracle orients by
+    (deg, iri) — both are total orders over the same nodes."""
+    # consume the int64 CODE pairs directly — comention_edges' decoded
+    # strings would only be re-dictionary-encoded here
+    edges = distinct(
+        _conv_pairs_expanded(sf_dir, max_conv_entities),
+        ["c1", "c2"],
+        default_buckets(),
+    ).materialize()
 
     def both_ends(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "node": np.concatenate(
                     [
-                        batch["e1"].to_numpy(dtype=object),
-                        batch["e2"].to_numpy(dtype=object),
+                        batch["c1"].to_numpy(np.int64),
+                        batch["c2"].to_numpy(np.int64),
                     ]
                 ),
                 "deg": np.ones(2 * len(batch), np.int64),
@@ -652,22 +672,21 @@ def triangle_counts(
     ):
         return _triangles_partitioned(edges, deg)
     deg_df = deg.to_pandas()
-    # Dictionary-encode entities: order codes by (deg, iri) so the
-    # orientation relation u≺v becomes plain integer < — every exchange
-    # from here on carries int64 keys, not ~40-byte IRIs (3-5× less
-    # shuffle volume, int-keyed pandas merges).
+    # Dense-encode: order dense ids by (deg, code) so the orientation
+    # relation u≺v becomes plain integer < — every exchange from here
+    # on carries small ints, and the dense lookup is one searchsorted.
     deg_df = deg_df.sort_values(["deg", "node"], kind="mergesort").reset_index(
         drop=True
     )
-    nodes_arr = deg_df["node"].to_numpy(dtype=object)
+    nodes_arr = deg_df["node"].to_numpy(np.int64)  # entity codes
     deg_arr = deg_df["deg"].to_numpy().astype(np.int64)
-    code_s = pd.Series(np.arange(len(nodes_arr), dtype=np.int64), index=nodes_arr)
-    code_ref = ray.put(code_s)
+    order = np.argsort(nodes_arr, kind="stable")
+    lookup_ref = ray.put((nodes_arr[order], order.astype(np.int64)))
 
     def orient(batch: pd.DataFrame) -> pd.DataFrame:
-        s: pd.Series = ray.get(code_ref)
-        c1 = s.reindex(batch["e1"].to_numpy(dtype=object)).to_numpy()
-        c2 = s.reindex(batch["e2"].to_numpy(dtype=object)).to_numpy()
+        sc, inv = ray.get(lookup_ref)
+        c1 = inv[np.searchsorted(sc, batch["c1"].to_numpy(np.int64))]
+        c2 = inv[np.searchsorted(sc, batch["c2"].to_numpy(np.int64))]
         return pd.DataFrame(
             {
                 "u": np.minimum(c1, c2).astype(np.int64),
@@ -768,7 +787,7 @@ def triangle_counts(
         t = batch["n_triangles"].to_numpy().astype(np.float64)
         return pd.DataFrame(
             {
-                "entity_iri": nodes[c],
+                "entity_iri": _decode_codes(nodes[c]),
                 "n_triangles": batch["n_triangles"],
                 "clustering": np.round(2.0 * t / (d * (d - 1.0)), 6),
             }
@@ -803,26 +822,27 @@ def _triangles_partitioned(edges: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
     Verified equal to the broadcast kernel in
     ``tests/test_graph.py::test_triangles_partitioned_matches_broadcast``."""
     d1 = deg.map_batches(
-        lambda b: b.rename(columns={"node": "e1", "deg": "d1"}),
+        lambda b: b.rename(columns={"node": "c1", "deg": "d1"}),
         batch_format="pandas",
     )
     d2 = deg.map_batches(
-        lambda b: b.rename(columns={"node": "e2", "deg": "d2"}),
+        lambda b: b.rename(columns={"node": "c2", "deg": "d2"}),
         batch_format="pandas",
     )
-    j = hash_join(edges, d1, on="e1", num_buckets=default_buckets())
-    j = hash_join(j, d2, on="e2", num_buckets=default_buckets())
+    j = hash_join(edges, d1, on="c1", num_buckets=default_buckets())
+    j = hash_join(j, d2, on="c2", num_buckets=default_buckets())
 
     def orient(batch: pd.DataFrame) -> pd.DataFrame:
-        e1 = batch["e1"].to_numpy(dtype=object)
-        e2 = batch["e2"].to_numpy(dtype=object)
-        a1 = batch["d1"].to_numpy()
-        a2 = batch["d2"].to_numpy()
+        # the join side-union widens int columns — cast back
+        e1 = batch["c1"].to_numpy(np.int64)
+        e2 = batch["c2"].to_numpy(np.int64)
+        a1 = batch["d1"].to_numpy(np.int64)
+        a2 = batch["d2"].to_numpy(np.int64)
         swap = (a2 < a1) | ((a2 == a1) & (e2 < e1))
         return pd.DataFrame(
             {
-                "u": np.where(swap, e2, e1),
-                "v": np.where(swap, e1, e2),
+                "u": np.where(swap, e2, e1).astype(np.int64),
+                "v": np.where(swap, e1, e2).astype(np.int64),
                 "dv": np.where(swap, a1, a2).astype(np.int64),
             }
         )
@@ -835,8 +855,8 @@ def _triangles_partitioned(edges: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
         # out-lists sorted by (deg, iri): pair (i < j) then IS the
         # oriented closing edge candidate (a ≺ b by construction)
         b = bucket.sort_values(["u", "dv", "v"], kind="mergesort")
-        u = b["u"].to_numpy(dtype=object)
-        v = b["v"].to_numpy(dtype=object)
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         ends = np.r_[starts[1:], len(u)]
         triu_cache: dict = {}
@@ -852,15 +872,15 @@ def _triangles_partitioned(edges: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
                 iu_ju = np.triu_indices(k, 1)
                 triu_cache[k] = iu_ju
             vs = v[s:e]
-            corners.append(np.full(len(iu_ju[0]), u[s], dtype=object))
+            corners.append(np.full(len(iu_ju[0]), u[s], np.int64))
             az.append(vs[iu_ju[0]])
             bz.append(vs[iu_ju[1]])
         if not corners:
             return pd.DataFrame(
                 {
-                    "a": pd.Series([], dtype=object),
-                    "b": pd.Series([], dtype=object),
-                    "corner": pd.Series([], dtype=object),
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "corner": pd.Series([], dtype=np.int64),
                 }
             )
         return pd.DataFrame(
@@ -901,22 +921,23 @@ def _triangles_partitioned(edges: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
         if len(m) == 0:
             return pd.DataFrame(
                 {
-                    "node": pd.Series([], dtype=object),
+                    "node": pd.Series([], dtype=np.int64),
                     "t": pd.Series([], dtype=np.int64),
                 }
             )
+        # the tag union NaN-pads ints to float64 — values are exact
         vc = pd.Series(
             np.concatenate(
                 [
-                    m["corner"].to_numpy(dtype=object),
-                    m["a"].to_numpy(dtype=object),
-                    m["b"].to_numpy(dtype=object),
+                    m["corner"].to_numpy(np.int64),
+                    m["a"].to_numpy(np.int64),
+                    m["b"].to_numpy(np.int64),
                 ]
             )
         ).value_counts()
         return pd.DataFrame(
             {
-                "node": vc.index.to_numpy(dtype=object),
+                "node": vc.index.to_numpy(np.int64),
                 "t": vc.to_numpy().astype(np.int64),
             }
         )
@@ -934,7 +955,7 @@ def _triangles_partitioned(edges: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
         t = batch["t"].to_numpy().astype(np.float64)
         return pd.DataFrame(
             {
-                "entity_iri": batch["node"],
+                "entity_iri": _decode_codes(batch["node"].to_numpy(np.int64)),
                 "n_triangles": batch["t"].astype(np.int64),
                 "clustering": np.round(2.0 * t / (d * (d - 1.0)), 6),
             }

@@ -190,7 +190,7 @@ def test_media_features_real_decode(ray_session):
     from rdf_canon_ray.stages import multimodal
 
     out = corpus.media_feature_table(SF).to_pandas()
-    assert len(out) == 256
+    assert len(out) == 280  # 256 base + 24 planted near-dup variants (v4)
     assert out["decoded"].all()
     assert out["feature"].map(len).eq(64).all()
     # cross-check one row per kind against a direct decode
@@ -285,7 +285,7 @@ def test_media_resize_and_frames(ray_session):
     from rdf_canon_ray.stages.multimodal import decode_ppm
 
     rz = corpus.media_resized(SF).to_pandas()
-    assert len(rz) == 256
+    assert len(rz) == 280  # 256 base + 24 planted near-dup variants (v4)
     img = rz[rz["kind"] == "image"]
     assert img["resized"].all()
     # output payloads are valid 64×64 PPMs
