@@ -114,30 +114,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_canon_ray.pipelines import analytics, corpus, graph, kg
 
     return {
-        # knowledge-graph construction family (SURVEY.md §2.1-2.2)
+        # --- Round-5 rotation (documented in COVERAGE.md): the driver
+        # samples the FIRST 50 keys for its side-by-side oracle check.
+        # Rounds 1-4 always sampled the kg + analytics head, so the
+        # dedup/ANN/multimodal/web/text families never appeared in any
+        # CORRECTNESS_r*.json. This ordering keeps 10 kg/canonical
+        # sentinels up front, then fills the sample with those families.
+        # Per-family groupings below are unchanged otherwise.
+        # 10 sentinels:
+        "w3c_conformance": _w3c_conformance,
         "kg_triples": lambda sf: kg.triples_dataset(sf),
+        "kg_canonical_graphs": lambda sf: kg.canonical_graphs_dataset(sf),
+        "kg_canonical_sizes": lambda sf: kg.canonical_sizes(sf),
+        "kg_canonical_partitioned_sizes": _partitioned_sizes,
+        "kg_canonical_incremental": lambda sf: kg.canonical_incremental(sf),
+        "rdfc_labels": lambda sf: kg.label_invariants(sf),
+        "kg_skewed_sizes": _skewed_sizes,
+        "conv_stats": kg.conv_stats,
+        "kg_pagerank": lambda sf: graph.pagerank(sf),
+        # dedup family (never driver-checked before round 5)
+        "dedup_exact": corpus.dedup_exact,
+        "dedup_minhash_pairs": corpus.minhash_pairs,
+        "dedup_minhash_groups": corpus.minhash_groups,
+        "dedup_simhash_pairs": corpus.simhash_pairs,
+        "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
+        "dedup_embedding_pairs": corpus.embedding_near_dups,
+        "dedup_clean": corpus.dedup_clean,
+        "leakage_safe_split": corpus.leakage_safe_split,
+        "curate_corpus": corpus.curate_corpus,
+        "curated_split_counts": corpus.curated_split_counts,
+        "containment_pairs": corpus.containment_pairs,
+        "corpus_diff": corpus.corpus_diff,
+        "snapshot_upsert": corpus.snapshot_upsert,
+        "uniform_sample": corpus.uniform_sample,
+        "lang_source_chi2": corpus.lang_source_chi2,
+        "dedup_incremental": corpus.dedup_incremental,
+        # similarity search family (never driver-checked before round 5)
+        "ann_topk": corpus.ann_topk,
+        "ann_knn_join": corpus.knn_refset,
+        "ann_lsh_topk": corpus.ann_lsh_topk,
+        "ann_ivf_topk": corpus.ann_ivf_topk,
+        "ann_ivf_persisted": corpus.ann_ivf_persisted,
+        "embed_quantized": corpus.embed_quantized,
+        "label_centroids": corpus.label_centroids,
+        "embed_zscore": corpus.embedding_zscore_checksums,
+        "embed_covariance": corpus.embed_covariance,
+        # multimodal plumbing family (never driver-checked before round 5)
+        "media_features": corpus.media_feature_table,
+        "media_feature_sums": corpus.media_feature_sums,
+        "media_resized": corpus.media_resized,
+        "media_resized_sums": corpus.media_resized_sums,
+        "media_frames": corpus.media_frames,
+        "media_audio_resampled": corpus.media_audio_resampled,
+        "media_stats": corpus.media_stats,
+        "media_dhash": corpus.media_dhash,
+        "media_dhash_pairs": corpus.media_dhash_pairs,
+        # web-text curation family (never driver-checked before round 5)
+        "pii_redact": corpus.pii_redact,
+        "line_dedup": corpus.line_dedup,
+        "web_domain_stats": corpus.web_domain_stats,
+        # text-analysis picks to round out the 50-row sample
+        "tfidf_top_terms": analytics.tfidf_top_terms,
+        "token_stats": corpus.token_stats,
+        "pack_sequences": corpus.pack_sequences,
+        # --- end of driver sample window ---
+        # text analysis family (remainder)
+        "chunk_documents": corpus.chunk_documents,
+        "quality_scores": corpus.quality_scores,
+        "lang_id": corpus.lang_id,
+        "fingerprints": corpus.fingerprints,
+        "hash_split": corpus.hash_split,
+        "repetition_stats": corpus.repetition_stats,
+        "decontaminate": corpus.decontaminate,
+        "stratified_sample": corpus.stratified_sample,
+        "mix_sources": corpus.mix_sources,
+        "weighted_sample": corpus.weighted_sample,
+        "top_quality_docs": corpus.top_quality_docs,
+        "shuffle_order": corpus.shuffle_order,
+        # knowledge-graph construction family (SURVEY.md §2.1-2.2)
         "kg_entity_mentions": lambda sf: kg.entity_mention_counts(sf),
         "kg_links": lambda sf: kg.distinct_links_dataset(sf),
         "kg_links_scored": lambda sf: kg.scored_links_dataset(sf),
-        "kg_canonical_graphs": lambda sf: kg.canonical_graphs_dataset(sf),
         "kg_canonical_sha384": lambda sf: kg.canonical_graphs_dataset(
             sf, hash_name="sha384"
         ),
         "kg_canonical_partitioned": lambda sf: kg.canonical_graphs_partitioned(sf),
-        "kg_canonical_partitioned_sizes": _partitioned_sizes,
-        "kg_canonical_sizes": lambda sf: kg.canonical_sizes(sf),
-        "kg_canonical_incremental": lambda sf: kg.canonical_incremental(sf),
-        "rdfc_labels": lambda sf: kg.label_invariants(sf),
         "rdfc_label_maps": lambda sf: kg.canonical_labels_dataset(sf),
-        "w3c_conformance": _w3c_conformance,
         "kg_skewed_graphs": _skewed_graphs,
-        "kg_skewed_sizes": _skewed_sizes,
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_comention_edges": lambda sf: graph.comention_edges(sf),
         "kg_comention_pmi": lambda sf: graph.comention_pmi(sf),
-        "kg_pagerank": lambda sf: graph.pagerank(sf),
         "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
-        "conv_stats": kg.conv_stats,
         "role_transitions": kg.role_transitions,
         "tool_latency": kg.tool_latency,
         "conv_rendered": kg.render_conversations,
@@ -217,63 +284,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_price_floor": analytics.events_price_floor,
         "quality_filtered": analytics.quality_filtered,
         "length_quantiles": analytics.length_quantiles,
-        "tfidf_top_terms": analytics.tfidf_top_terms,
-        # dedup family
-        "dedup_exact": corpus.dedup_exact,
-        "dedup_minhash_pairs": corpus.minhash_pairs,
-        "dedup_minhash_groups": corpus.minhash_groups,
-        "dedup_simhash_pairs": corpus.simhash_pairs,
-        "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
-        "dedup_embedding_pairs": corpus.embedding_near_dups,
-        "dedup_clean": corpus.dedup_clean,
-        "leakage_safe_split": corpus.leakage_safe_split,
-        "curate_corpus": corpus.curate_corpus,
-        "curated_split_counts": corpus.curated_split_counts,
-        "containment_pairs": corpus.containment_pairs,
-        "corpus_diff": corpus.corpus_diff,
-        "snapshot_upsert": corpus.snapshot_upsert,
-        "uniform_sample": corpus.uniform_sample,
-        "lang_source_chi2": corpus.lang_source_chi2,
-        "dedup_incremental": corpus.dedup_incremental,
-        # text analysis family
-        "token_stats": corpus.token_stats,
-        "chunk_documents": corpus.chunk_documents,
-        "quality_scores": corpus.quality_scores,
-        "lang_id": corpus.lang_id,
-        "fingerprints": corpus.fingerprints,
-        "hash_split": corpus.hash_split,
-        "pack_sequences": corpus.pack_sequences,
-        "repetition_stats": corpus.repetition_stats,
-        "decontaminate": corpus.decontaminate,
-        "stratified_sample": corpus.stratified_sample,
-        "mix_sources": corpus.mix_sources,
-        "weighted_sample": corpus.weighted_sample,
-        "top_quality_docs": corpus.top_quality_docs,
-        "shuffle_order": corpus.shuffle_order,
-        # similarity search family
-        "ann_topk": corpus.ann_topk,
-        "ann_knn_join": corpus.knn_refset,
-        "ann_lsh_topk": corpus.ann_lsh_topk,
-        "ann_ivf_topk": corpus.ann_ivf_topk,
-        "ann_ivf_persisted": corpus.ann_ivf_persisted,
-        "embed_quantized": corpus.embed_quantized,
-        "label_centroids": corpus.label_centroids,
-        "embed_zscore": corpus.embedding_zscore_checksums,
-        "embed_covariance": corpus.embed_covariance,
-        # multimodal plumbing family
-        "media_features": corpus.media_feature_table,
-        "media_feature_sums": corpus.media_feature_sums,
-        "media_resized": corpus.media_resized,
-        "media_resized_sums": corpus.media_resized_sums,
-        "media_frames": corpus.media_frames,
-        "media_audio_resampled": corpus.media_audio_resampled,
-        "media_stats": corpus.media_stats,
-        "media_dhash": corpus.media_dhash,
-        "media_dhash_pairs": corpus.media_dhash_pairs,
-        # web-text curation family
-        "pii_redact": corpus.pii_redact,
-        "line_dedup": corpus.line_dedup,
-        "web_domain_stats": corpus.web_domain_stats,
     }
 
 

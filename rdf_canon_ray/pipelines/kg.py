@@ -460,6 +460,8 @@ def canonical_store(
     refresh.  At 100 TB this is the standing canonical corpus next to
     the conversation log; the delta buckets play 'newly arrived
     conversations'."""
+    import json
+
     import pandas as pd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -468,18 +470,29 @@ def canonical_store(
     out_dir = os.path.join(
         cache_root, tag, f"canon_store_{num_buckets}_d{delta_mod}_{hash_name}"
     )
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
-        return out_dir
+    root = transcripts_parquet_partitioned(sf_dir, num_buckets)
+    parts = _partition_paths(root)
+    base = {b: p for b, p in parts.items() if b % delta_mod != 0}
+    # input fingerprint (the zonemap/_corpus_tag staleness pattern):
+    # (bucket, size, mtime) of every BASE partition file — metadata-only.
+    # If the partitioned transcript layout is rebuilt in place, the
+    # surviving store dir no longer matches and is rebuilt instead of
+    # silently feeding a stale base into the incremental merge.
+    fingerprint = [
+        [b, os.stat(p).st_size, os.stat(p).st_mtime_ns]
+        for b, p in sorted(base.items())
+    ]
+    mf = os.path.join(out_dir, "_store.json")
+    if os.path.isdir(out_dir) and os.path.isfile(mf):
+        with open(mf) as f:
+            if json.load(f).get("fingerprint") == fingerprint:
+                return out_dir
     tmp = out_dir + ".tmp"
     import shutil
 
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
-
-    root = transcripts_parquet_partitioned(sf_dir, num_buckets)
-    parts = _partition_paths(root)
-    base = {b: p for b, p in parts.items() if b % delta_mod != 0}
     process = _canonicalize_part_files(_link_maps_ref(sf_dir), hash_name, None)
 
     def build_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -499,8 +512,16 @@ def canonical_store(
         .map_batches(build_bucket, batch_format="pandas", batch_size=1)
         .count()
     )
+    with open(os.path.join(tmp, "_store.json"), "w") as f:
+        json.dump({"fingerprint": fingerprint, "hash": hash_name}, f)
     from ..util import atomic_publish_dir
 
+    if os.path.isdir(out_dir):
+        # stale (or pre-fingerprint legacy) layout in place:
+        # atomic_publish_dir deliberately lets an existing dir win, so
+        # remove the loser first.  Single-driver scratch cache — the
+        # brief gap is acceptable (same reasoning as zone_export).
+        shutil.rmtree(out_dir)
     return atomic_publish_dir(tmp, out_dir)
 
 

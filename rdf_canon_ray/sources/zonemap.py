@@ -61,12 +61,15 @@ def zone_export(
     pages are read).  Idempotent per (path, input): the manifest
     records an input fingerprint (``input_tag`` if given, else row
     count + schema) and a changed input REBUILDS the layout instead of
-    silently serving the stale sorted copy.  Atomic publish."""
-    fingerprint = (
-        input_tag
-        if input_tag is not None
-        else f"{ds.count()}|{','.join(sorted(ds.schema().names))}"
-    )
+    silently serving the stale sorted copy.  Atomic publish.
+
+    Cost note: pass ``input_tag`` whenever the caller can fingerprint
+    its input cheaply (file sizes/mtimes, a corpus tag…).  Without it
+    the staleness check falls back to ``ds.count()``, which executes
+    the full input pipeline on EVERY call — even when the manifest
+    already matches, because row count is the only evidence we have.
+    The manifest-missing path never pays it: a fresh build computes
+    the fingerprint once, after deciding to build."""
     mf = os.path.join(path, _MANIFEST)
     # crash recovery: a rebuild swap that died between renames leaves
     # the last good layout at path+'.stale' — restore it before the
@@ -74,11 +77,24 @@ def zone_export(
     stale = path + ".stale"
     if not os.path.isdir(path) and os.path.isdir(stale):
         os.rename(stale, path)
+
+    def _fingerprint() -> str:
+        if input_tag is not None:
+            return input_tag
+        return f"{ds.count()}|{','.join(sorted(ds.schema().names))}"
+
+    fingerprint: str | None = None
     if os.path.isdir(path) and os.path.isfile(mf):
         with open(mf) as f:
             existing = json.load(f)
+        # cheap hit path: with an input_tag the comparison costs nothing;
+        # without one the count-based fingerprint is computed only here,
+        # where there is an existing layout whose staleness must be judged
+        fingerprint = _fingerprint()
         if existing.get("fingerprint") == fingerprint:
             return path
+    if fingerprint is None:
+        fingerprint = _fingerprint()
     tmp = path + ".tmp"
     import shutil
 

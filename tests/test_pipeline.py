@@ -147,6 +147,34 @@ def test_incremental_merge_equals_full_rebuild(ray_session):
     assert 0 < len(parts) < 16
 
 
+def test_canonical_store_rebuilds_on_stale_fingerprint(ray_session):
+    """The store records an input fingerprint of the base partition
+    files (size+mtime); touching a base bucket in place must trigger a
+    rebuild instead of serving the stale store (ADVICE r04 #1)."""
+    import json
+    import os
+
+    from rdf_canon_ray.pipelines import kg
+    from rdf_canon_ray.pipelines.kg import transcripts_parquet_partitioned
+
+    store = kg.canonical_store(SF, num_buckets=16, delta_mod=4)
+    mf = os.path.join(store, "_store.json")
+    assert os.path.isfile(mf)
+    with open(mf) as f:
+        fp0 = json.load(f)["fingerprint"]
+    # cache hit: same input → same dir, manifest untouched
+    assert kg.canonical_store(SF, num_buckets=16, delta_mod=4) == store
+    # simulate an in-place layout regeneration: bump one base file's mtime
+    root = transcripts_parquet_partitioned(SF, 16)
+    base_file = os.path.join(root, "part=1", "data.parquet")
+    st = os.stat(base_file)
+    os.utime(base_file, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    store2 = kg.canonical_store(SF, num_buckets=16, delta_mod=4)
+    with open(os.path.join(store2, "_store.json")) as f:
+        fp1 = json.load(f)["fingerprint"]
+    assert fp1 != fp0  # rebuilt against the new layout fingerprint
+
+
 def test_quarantine_poison_graph(ray_session):
     """A poison clique graph is quarantined; healthy graphs still pass."""
     import ray.data as rd
