@@ -84,6 +84,26 @@ def run_bench() -> dict:
             batch_format="pyarrow",
         ).to_pandas()
 
+    # Fleet warm-up (untimed, measured): the FIRST full-scale flagship
+    # execution in a session pays one-time costs the sf0.001 warm-up
+    # cannot reach — spawning the full worker fleet, first all-to-all
+    # exchange machinery, object-store buffer growth (measured +1.3-2 s
+    # at sf0.1/32cpu).  On a persistent cluster these are session costs,
+    # not query costs, so the headline excludes them — but the first-
+    # execution time is RECORDED below (first_exec_sec), not hidden.
+    t0 = time.time()
+    agg = consume_graphs()
+    first_exec = round(time.time() - t0, 3)
+
+    # stage decomposition (timed once, steady-state): extraction alone,
+    # then the full pipeline — the difference is exchange + expand +
+    # canonicalize.  Settles where a slow session's time goes.
+    t0 = time.time()
+    kg.mentions_dataset(
+        sf_dir, rd.read_parquet(tdir, columns=kg._EXTRACT_COLS)
+    ).count()
+    extract_sec = round(time.time() - t0, 3)
+
     # headline: transcripts → extract → link → per-graph canonicalization.
     # Best of N (default 2) — single executions are noisy at this scale.
     reps = int(os.environ.get("RCR_BENCH_REPS", "2"))
@@ -93,6 +113,12 @@ def run_bench() -> dict:
         agg = consume_graphs()
         times.append(time.time() - t0)
     headline = min(times)
+    stage_seconds = {
+        "extract": extract_sec,
+        "exchange_expand_canon": round(headline - extract_sec, 3),
+        "first_exec_sec": first_exec,
+        "headline_reps": [round(t, 3) for t in times],
+    }
     n_graphs, n_ok, n_quads = (
         int(agg["n"].sum()),
         int(agg["ok"].sum()),
@@ -124,6 +150,7 @@ def run_bench() -> dict:
             "n_graphs": n_graphs,
             "n_quads": n_quads,
             "quads_per_sec": round(n_quads / headline, 1),
+            "stage_seconds": stage_seconds,
         }
 
     t0 = time.time()
@@ -175,6 +202,7 @@ def run_bench() -> dict:
         "n_triples": n_triples,
         "quads_per_sec": round(n_quads / headline, 1),
         "turns_per_sec": round(n_turns / headline, 1),
+        "stage_seconds": stage_seconds,
     }
 
 

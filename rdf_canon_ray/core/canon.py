@@ -35,9 +35,11 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 from .terms import (
     BNODE,
     DEFAULT,
+    IRI,
     Quad,
     quad_to_line,
     quad_to_string,
+    term_to_string,
 )
 
 DEFAULT_HNDQ_CALL_LIMIT = 4000
@@ -129,10 +131,35 @@ def dedup_quads(quads: Iterable[Quad]) -> List[Quad]:
     return out
 
 
+def _quad_template(q: Quad) -> tuple:
+    """Precomputed serialization template for one quad: every non-bnode
+    part is rendered ONCE (IRI brackets, literal escaping) so the hot
+    loops (H1DQ per mentioning bnode, final doc render) only substitute
+    bnode labels.  ``(q, s_static, s, " <p> ", o_static, o, g_static, g)``
+    — a ``None`` static marks a bnode slot; ``g_static`` carries its
+    leading space (empty for the default graph)."""
+    s_kind, s, p, o_kind, o, o_dt, o_lang, g_kind, g = q
+    s_st = "<" + s + ">" if s_kind == IRI else None
+    o_st = term_to_string(o_kind, o, o_dt, o_lang) if o_kind != BNODE else None
+    if g_kind == DEFAULT:
+        g_st = ""
+    elif g_kind == IRI:
+        g_st = " <" + g + ">"
+    else:
+        g_st = None
+    return (q, s_st, s, " <" + p + "> ", o_st, o, g_st, g)
+
+
 class _State:
     """Spec §4.2 canonicalization state (`src/canon.rs:17-89`)."""
 
-    __slots__ = ("mention_map", "canonical_issuer", "h1dq_cache", "hash_name")
+    __slots__ = (
+        "mention_map",
+        "canonical_issuer",
+        "h1dq_cache",
+        "hash_name",
+        "templates",
+    )
 
     def __init__(self, quads: Sequence[Quad], hash_name: str):
         self.hash_name = hash_name
@@ -141,15 +168,18 @@ class _State:
         # 4.4.3 step 2: blank node → mention quads. A quad is appended once
         # per bnode component position (subject, object, graph), so a quad
         # like ``_:a <p> _:a`` appears twice in ``_:a``'s list
-        # (`src/canon.rs:44-76`).
-        mention: Dict[str, List[Quad]] = {}
-        for q in quads:
+        # (`src/canon.rs:44-76`).  Entries are serialization TEMPLATES
+        # (see ``_quad_template``); ``entry[0]`` is the original quad.
+        self.templates = [_quad_template(q) for q in quads]
+        mention: Dict[str, List[tuple]] = {}
+        for t in self.templates:
+            q = t[0]
             if q[0] == BNODE:
-                mention.setdefault(q[1], []).append(q)
+                mention.setdefault(q[1], []).append(t)
             if q[3] == BNODE:
-                mention.setdefault(q[4], []).append(q)
+                mention.setdefault(q[4], []).append(t)
             if q[7] == BNODE:
-                mention.setdefault(q[8], []).append(q)
+                mention.setdefault(q[8], []).append(t)
         self.mention_map = mention
 
     # --- 4.6 Hash First Degree Quads (`src/canon.rs:491-580`) ---------
@@ -157,21 +187,16 @@ class _State:
         cached = self.h1dq_cache.get(n)
         if cached is not None:
             return cached
-        quads = self.mention_map.get(n)
-        if quads is None:
+        entries = self.mention_map.get(n)
+        if entries is None:
             raise QuadsNotExist(n)
         lines = []
-        for q in quads:
-            s_kind, s, p, o_kind, o, o_dt, o_lang, g_kind, g = q
-            if s_kind == BNODE:
-                s = "a" if s == n else "z"
-            if o_kind == BNODE:
-                o = "a" if o == n else "z"
-            if g_kind == BNODE:
-                g = "a" if g == n else "z"
-            lines.append(
-                quad_to_line((s_kind, s, p, o_kind, o, o_dt, o_lang, g_kind, g))
-            )
+        for _q, s_st, s, mid, o_st, o, g_st, g in entries:
+            subj = s_st if s_st is not None else ("_:a" if s == n else "_:z")
+            obj = o_st if o_st is not None else ("_:a" if o == n else "_:z")
+            if g_st is None:
+                g_st = " _:a" if g == n else " _:z"
+            lines.append(subj + mid + obj + g_st + " .\n")
         lines.sort()
         digest = _hash(self.hash_name, "".join(lines))
         self.h1dq_cache[n] = digest
@@ -206,14 +231,14 @@ class _State:
         counter.add()
         issuer = path_issuer.clone()
 
-        quads = self.mention_map.get(identifier)
-        if quads is None:
+        entries = self.mention_map.get(identifier)
+        if entries is None:
             raise QuadsNotExist(identifier)
 
         # Step 3: Hn — related-hash → related bnode identifiers.
         h_n: Dict[str, List[str]] = {}
-        for q in quads:
-            s_kind, s, p, o_kind, o, _dt, _lang, g_kind, g = q
+        for ent in entries:
+            s_kind, s, p, o_kind, o, _dt, _lang, g_kind, g = ent[0]
             if s_kind == BNODE and s != identifier:
                 h = self.hash_related_blank_node(s, p, issuer, "s")
                 h_n.setdefault(h, []).append(s)
@@ -293,6 +318,7 @@ def issue(
     hndq_call_limit: Optional[int] = None,
     _deduped: bool = False,
     trace=None,
+    _state: Optional[_State] = None,
 ) -> Dict[str, str]:
     """4.4 Canonicalization Algorithm → issued-identifiers map
     (input blank node label → ``c14nN``); `src/canon.rs:196-480`.
@@ -302,13 +328,13 @@ def issue(
     `src/logger.rs`); zero overhead when None."""
     if not _deduped:
         quads = dedup_quads(quads)
-    state = _State(quads, hash_name)
+    state = _state if _state is not None else _State(quads, hash_name)
     counter = HndqCallCounter(hndq_call_limit)
 
     if trace is not None:
         trace.mention_map = {
-            n: [quad_to_string(q) + " ." for q in qs]
-            for n, qs in sorted(state.mention_map.items())
+            n: [quad_to_string(ent[0]) + " ." for ent in entries]
+            for n, entries in sorted(state.mention_map.items())
         }
 
     # Step 3: H1DQ for every mentioned bnode, grouped by hash.
@@ -501,12 +527,30 @@ def canonicalize_quads_with_map(
     the engine's per-graph kernel (the map is the join key for
     cross-graph entity canonicalization)."""
     quads = dedup_quads(quads)
+    state = _State(quads, hash_name)
     mapping = issue(
-        quads, hash_name=hash_name, hndq_call_limit=hndq_call_limit, _deduped=True
+        quads,
+        hash_name=hash_name,
+        hndq_call_limit=hndq_call_limit,
+        _deduped=True,
+        _state=state,
     )
     # Serialize directly with label substitution — one pass instead of
     # relabel-then-reserialize (relabeled quads stay a set: substitution
-    # is injective on distinct quads given a bijective label map).
-    strs = sorted(quad_to_string(q) for q in relabel(quads, mapping))
+    # is injective on distinct quads given a bijective label map).  The
+    # templates built for H1DQ already hold every non-bnode part
+    # rendered; only canonical labels are substituted here.  A missing
+    # label raises like ``relabel`` does.
+    strs = []
+    try:
+        for _q, s_st, s, mid, o_st, o, g_st, g in state.templates:
+            subj = s_st if s_st is not None else "_:" + mapping[s]
+            obj = o_st if o_st is not None else "_:" + mapping[o]
+            if g_st is None:
+                g_st = " _:" + mapping[g]
+            strs.append(subj + mid + obj + g_st)
+    except KeyError as e:  # pragma: no cover - defensive parity
+        raise CanonicalIdentifierNotExist(e.args[0]) from None
+    strs.sort()
     doc = (" .\n".join(strs) + " .\n") if strs else ""
     return doc, mapping
