@@ -41,6 +41,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -90,25 +91,131 @@ def _cache_put(cache: dict, key: tuple, val):
     cache[key] = val
 
 
+_ADJ_STORE_V = 2  # v2: Arrow list<int32> adjacency blocks
+
+
+def _adjacency_store_dir(
+    sf_dir: str, max_conv_entities: Optional[int],
+    cache_root: str = "/tmp/rcr_cache",
+) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cap = "all" if max_conv_entities is None else str(max_conv_entities)
+    return os.path.join(cache_root, tag, f"adjacency_{cap}")
+
+
+def _persist_resident_graph(
+    store: str, enc: rd.Dataset, nodes: np.ndarray, deg: np.ndarray,
+    fingerprint: list,
+) -> None:
+    """Write the ENCODED adjacency + dense-id node table to disk (the
+    ``canonical_store`` pattern): packing the co-mention graph is 3
+    exchanges + extraction (~12 s at sf0.1) and dominates every cold
+    graph query; the persisted artifact makes a cold-session
+    pagerank/BFS iterations-only.  Layout: ``adjacency/`` parquet of
+    (code int64, srcs list<int>), ``nodes.parquet`` with row i = dense
+    id i, ``_adj.json`` manifest keyed on the transcript-corpus
+    fingerprint (size+mtime of every cache file — a regenerated corpus
+    rebuilds instead of serving stale edges)."""
+    import json
+    import shutil
+
+    from ..util import atomic_publish_dir
+
+    tmp = store + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "adjacency"), exist_ok=True)
+    enc.write_parquet(os.path.join(tmp, "adjacency"))
+    pd.DataFrame({"node": nodes, "deg": deg}).to_parquet(
+        os.path.join(tmp, "nodes.parquet")
+    )
+    with open(os.path.join(tmp, "_adj.json"), "w") as f:
+        json.dump(
+            {"v": _ADJ_STORE_V, "fingerprint": fingerprint,
+             "n": int(len(nodes))}, f,
+        )
+    if os.path.isdir(store):
+        shutil.rmtree(store)  # stale fingerprint loses (scratch cache)
+    atomic_publish_dir(tmp, store)
+
+
+def _load_resident_graph(store: str, fingerprint: list, threshold: int):
+    """(enc, nodes, deg) from a fingerprint-matching on-disk store, the
+    sentinel ``"gate"`` when the store says the graph exceeds the
+    broadcast threshold (callers skip straight to the partitioned path
+    without packing), or None when there is no usable store."""
+    import json
+
+    mf = os.path.join(store, "_adj.json")
+    if not os.path.isfile(mf):
+        return None
+    with open(mf) as f:
+        manifest = json.load(f)
+    if (
+        manifest.get("v") != _ADJ_STORE_V
+        or manifest.get("fingerprint") != fingerprint
+    ):
+        return None
+    if manifest["n"] > threshold:
+        return "gate"
+    if not os.path.isfile(os.path.join(store, "nodes.parquet")):
+        # gate-only manifest (written when the graph exceeded a smaller
+        # threshold): no data to load — rebuild under this threshold
+        return None
+    ndf = pd.read_parquet(os.path.join(store, "nodes.parquet"))
+    enc = rd.read_parquet(os.path.join(store, "adjacency")).materialize()
+    return (
+        enc,
+        ndf["node"].to_numpy(),
+        ndf["deg"].to_numpy(np.float64),
+    )
+
+
 def _resident_graph(
     sf_dir: str,
     max_conv_entities: Optional[int],
     broadcast_threshold: int,
 ):
     """(encoded adjacency, nodes, deg) for the resident-graph iteration
-    family, cached per (sf_dir, cap) — pagerank and BFS in the same
-    process share one pack + encode.  Returns None above the node gate
-    (callers fall back to their partitioned mode)."""
+    family, cached per (sf_dir, cap) at two levels: in-process
+    (pagerank and BFS in the same process share one pack + encode) and
+    on disk (``_persist_resident_graph`` — a cold session reads the
+    packed+encoded graph back instead of re-running the 3-exchange
+    build).  Returns None above the node gate (callers fall back to
+    their partitioned mode)."""
+    fingerprint = [list(t) for t in _corpus_tag(sf_dir)]
     key = (os.path.abspath(sf_dir), max_conv_entities, _corpus_tag(sf_dir))
     hit = _ENC_CACHE.get(key)
     if hit is not None:
         return hit if len(hit[1]) <= broadcast_threshold else None
+    store = _adjacency_store_dir(sf_dir, max_conv_entities)
+    loaded = _load_resident_graph(store, fingerprint, broadcast_threshold)
+    if loaded == "gate":
+        return None
+    if loaded is not None:
+        _cache_put(_ENC_CACHE, key, loaded)
+        return loaded
     adj = _packed_adjacency(sf_dir, max_conv_entities)
-    if adj.count() > broadcast_threshold:
+    n = adj.count()
+    if n > broadcast_threshold:
+        # persist the gate decision too: the next cold session skips the
+        # pack entirely instead of re-building just to re-decide
+        import json
+        import shutil
+
+        if os.path.isdir(store):
+            shutil.rmtree(store)  # never leave stale data under a new tag
+        os.makedirs(store, exist_ok=True)
+        with open(os.path.join(store, "_adj.json"), "w") as f:
+            json.dump(
+                {"v": _ADJ_STORE_V, "fingerprint": fingerprint,
+                 "n": int(n)}, f,
+            )
         return None
     deg_df = adj.select_columns(["node", "deg"]).to_pandas()
     rg = _encoded_adjacency(adj, deg_df)
     _cache_put(_ENC_CACHE, key, rg)
+    _persist_resident_graph(store, rg[0], rg[1], rg[2], fingerprint)
     return rg
 
 
@@ -338,6 +445,39 @@ def pagerank(
     return _pagerank_partitioned(sf_dir, iterations, max_conv_entities)
 
 
+_ADJ_SCHEMA = pa.schema(
+    [("code", pa.int64()), ("srcs", pa.list_(pa.int32()))]
+)
+
+
+def _adjacency_table(codes, lens: np.ndarray, flat: np.ndarray) -> pa.Table:
+    """Encoded-adjacency block as an ARROW table: ``srcs`` is a
+    ``list<int32>`` built directly from (offsets, flat values) — no
+    per-row Python list objects, zero-copy through the object store
+    and byte-stable through the parquet adjacency store."""
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    srcs = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+    )
+    return pa.table(
+        {"code": pa.array(np.asarray(codes, np.int64)), "srcs": srcs},
+        schema=_ADJ_SCHEMA,
+    )
+
+
+def _flatten_srcs(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(codes, flat neighbor ids, offsets) from an encoded-adjacency
+    Arrow block — ``offsets`` are normalized row boundaries into
+    ``flat`` (length = rows + 1).  Replaces the per-row
+    ``np.asarray(list)`` loop that dominated resident iterations."""
+    lst = batch.column("srcs").combine_chunks()
+    offs = lst.offsets.to_numpy().astype(np.int64)
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    codes = batch.column("code").to_numpy()
+    return codes, flat, offs - offs[0]
+
+
 def _encoded_adjacency(
     adj: rd.Dataset, deg_df: pd.DataFrame
 ) -> tuple[rd.Dataset, np.ndarray, np.ndarray]:
@@ -359,20 +499,16 @@ def _encoded_adjacency(
         sorted_codes = codes[order]
         lookup_ref = ray.put((sorted_codes, order.astype(np.int64)))
 
-        def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        def encode(batch: pd.DataFrame) -> pa.Table:
             sc, inv = ray.get(lookup_ref)
             lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
             flat = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in batch["srcs"]]
             )
             dense = inv[np.searchsorted(sc, flat)].astype(np.int32)
-            splits = np.split(dense, np.cumsum(lens)[:-1])
             node_codes = batch["node"].to_numpy(np.int64)
-            return pd.DataFrame(
-                {
-                    "code": inv[np.searchsorted(sc, node_codes)],
-                    "srcs": splits,
-                }
+            return _adjacency_table(
+                inv[np.searchsorted(sc, node_codes)], lens, dense
             )
 
     else:
@@ -380,22 +516,17 @@ def _encoded_adjacency(
         code_s = pd.Series(np.arange(len(nodes), dtype=np.int64), index=nodes)
         code_ref = ray.put(code_s)
 
-        def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        def encode(batch: pd.DataFrame) -> pa.Table:
             s: pd.Series = ray.get(code_ref)
             lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
             flat = np.concatenate(
                 [np.asarray(x, dtype=object) for x in batch["srcs"]]
             )
-            codes = s.reindex(flat).to_numpy().astype(np.int32)
-            splits = np.split(codes, np.cumsum(lens)[:-1])
-            return pd.DataFrame(
-                {
-                    "code": s.reindex(batch["node"].to_numpy()).to_numpy(
-                        np.int64
-                    ),
-                    "srcs": splits,
-                }
+            dense = s.reindex(flat).to_numpy().astype(np.int32)
+            node_codes = s.reindex(batch["node"].to_numpy()).to_numpy(
+                np.int64
             )
+            return _adjacency_table(node_codes, lens, dense)
 
     enc = adj.map_batches(
         encode, batch_format="pandas", batch_size=8192
@@ -496,24 +627,17 @@ def _pagerank_iterate(
         # in the object store, never ray.get on the driver
         sends = _div_vecs.remote(rank_ref, deg_ref)
 
-        def step(batch: pd.DataFrame, sends=sends) -> pd.DataFrame:
+        def step(batch: pa.Table, sends=sends) -> pa.Table:
             v: np.ndarray = ray.get(sends)
-            lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
-            flat = np.concatenate(
-                [np.asarray(x, dtype=np.int32) for x in batch["srcs"]]
-            )
-            w = v[flat]
-            offsets = np.zeros(len(lens), np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            sums = np.add.reduceat(w, offsets)
-            return pd.DataFrame(
-                {
-                    "code": batch["code"],
-                    "r": TELEPORT + DAMPING * sums,
-                }
+            codes, flat, offs = _flatten_srcs(batch)
+            # adjacency rows always have deg ≥ 1, so reduceat over the
+            # row-start offsets is exact (no empty segments)
+            sums = np.add.reduceat(v[flat], offs[:-1])
+            return pa.table(
+                {"code": codes, "r": TELEPORT + DAMPING * sums}
             )
 
-        out = enc.map_batches(step, batch_format="pandas", batch_size=8192)
+        out = enc.map_batches(step, batch_format="pyarrow", batch_size=8192)
         rank_ref = _tree_reduce_blocks(out, n, "sum", "r")
 
     ranks = ray.get(rank_ref)  # the ONLY driver-side vector fetch
@@ -566,22 +690,15 @@ def bfs_depths(
 
     for _ in range(max_depth):
 
-        def step(batch: pd.DataFrame, dref=depth_ref) -> pd.DataFrame:
+        def step(batch: pa.Table, dref=depth_ref) -> pa.Table:
             d: np.ndarray = ray.get(dref)
-            lens = np.asarray([len(x) for x in batch["srcs"]], np.int64)
-            flat = np.concatenate(
-                [np.asarray(x, dtype=np.int32) for x in batch["srcs"]]
-            )
-            w = d[flat]
-            offsets = np.zeros(len(lens), np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            mins = np.minimum.reduceat(w, offsets)
-            codes = batch["code"].to_numpy()
-            return pd.DataFrame(
+            codes, flat, offs = _flatten_srcs(batch)
+            mins = np.minimum.reduceat(d[flat], offs[:-1])
+            return pa.table(
                 {"code": codes, "d": np.minimum(d[codes], mins + 1.0)}
             )
 
-        out = enc.map_batches(step, batch_format="pandas", batch_size=8192)
+        out = enc.map_batches(step, batch_format="pyarrow", batch_size=8192)
         new_ref = _tree_reduce_blocks(out, len(nodes), "min", "d")
         # convergence check in the object store; only 1 bool lands here
         if ray.get(_vecs_equal.remote(new_ref, depth_ref)):

@@ -152,3 +152,38 @@ def test_pagerank_cap_is_deterministic(ray_session):
     assert key(a) == key(b)
     full = graph.comention_edges(SF).to_pandas()
     assert len(a) < len(full)
+
+
+def test_adjacency_store_cold_load_equality(ray_session):
+    """The persisted encoded-adjacency store (VERDICT r04 #4) must give
+    byte-identical pagerank/BFS when loaded cold (in-process caches
+    cleared), and rebuild when the transcript corpus changes."""
+    import json
+    import os
+    import shutil
+
+    store = graph._adjacency_store_dir(SF, None)
+    shutil.rmtree(store, ignore_errors=True)
+    a = graph.pagerank(SF).to_pandas().sort_values("entity_iri").reset_index(drop=True)
+    assert os.path.isfile(os.path.join(store, "_adj.json"))
+    with open(os.path.join(store, "_adj.json")) as f:
+        manifest = json.load(f)
+    assert manifest["v"] == graph._ADJ_STORE_V
+    # simulate a cold session: drop every in-process cache
+    graph._ENC_CACHE.clear()
+    graph._ADJ_CACHE.clear()
+    graph._PAIRS_CACHE.clear()
+    b = graph.pagerank(SF).to_pandas().sort_values("entity_iri").reset_index(drop=True)
+    assert a.equals(b)
+    bfs_a = graph.bfs_depths(SF).to_pandas().sort_values("entity_iri").reset_index(drop=True)
+    graph._ENC_CACHE.clear()
+    bfs_b = graph.bfs_depths(SF).to_pandas().sort_values("entity_iri").reset_index(drop=True)
+    assert bfs_a.equals(bfs_b)
+    # stale fingerprint → loader refuses (rebuild path)
+    bad = dict(manifest, fingerprint=[["tampered", 0, 0]])
+    with open(os.path.join(store, "_adj.json"), "w") as f:
+        json.dump(bad, f)
+    assert graph._load_resident_graph(
+        store, [list(t) for t in graph._corpus_tag(SF)], 500_000
+    ) is None
+    shutil.rmtree(store, ignore_errors=True)
