@@ -723,6 +723,7 @@ def triangle_counts(
     edge_broadcast_threshold: int = 50_000_000,
     max_conv_entities: Optional[int] = None,
     force_partitioned: bool = False,
+    wedge_budget_floor: int = 2_000_000,
 ) -> rd.Dataset:
     """Per-node triangle counts + local clustering coefficient over the
     co-mention graph, via DEGREE-ORIENTED wedge generation (the
@@ -815,12 +816,19 @@ def triangle_counts(
         orient, batch_format="pandas", batch_size=32768
     ).materialize()
 
-    # Close wedges in-bucket: the u-bucket owns u's whole out-list, the
-    # oriented edge SET ships broadcast as one sorted int64 key array
-    # (u·n + v; edge-scale — 8 bytes/edge, gated by broadcast_threshold
-    # alongside the node map), so the O(m^1.5) wedge stream never
-    # crosses the wire: generate pairs → membership searchsorted →
-    # bincount corner partials, all fused in one task per bucket.
+    # Close wedges with DRIVER-PLANNED, wedge-balanced tasks: the
+    # oriented edge SET already ships broadcast as one sorted int64 key
+    # array (u·n + v; edge-scale — 8 bytes/edge, gated by
+    # broadcast_threshold alongside the node map), and that same array
+    # IS the (u, v)-sorted edge list — so instead of re-shuffling the
+    # edges into u-hash buckets (whose wedge volume is wildly skewed: a
+    # hub's C(outdeg, 2) wedges all land in one task), the driver walks
+    # the per-u segment boundaries, sums each segment's wedge count,
+    # and emits tasks capped at ~equal wedge budgets.  A single hub
+    # whose wedge count exceeds the budget is SPLIT across sub-tasks by
+    # triangular-pair index range (corner partials already bincount-
+    # merge), bounding the max task at scale.  One fewer exchange AND
+    # no stragglers.
     n_codes = len(nodes_arr)
     odf = oriented.select_columns(["u", "v"]).to_pandas()
     ekeys = np.sort(
@@ -829,21 +837,64 @@ def triangle_counts(
     )
     ekeys_ref = ray.put(ekeys)
 
-    def wedge_close_corners(bucket: pd.DataFrame) -> pd.DataFrame:
+    seg_starts = np.flatnonzero(
+        np.r_[True, (ekeys[1:] // n_codes) != (ekeys[:-1] // n_codes)]
+    )
+    seg_ends = np.r_[seg_starts[1:], len(ekeys)]
+    seg_k = (seg_ends - seg_starts).astype(np.int64)
+    seg_w = seg_k * (seg_k - 1) // 2
+    total_wedges = int(seg_w.sum())
+    if total_wedges == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "entity_iri": pd.Series([], dtype=object),
+                    "n_triangles": pd.Series([], dtype=np.int64),
+                    "clustering": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    budget = max(wedge_budget_floor, total_wedges // default_buckets() + 1)
+    tasks: list = []
+    run_s, run_w = -1, 0
+    for s, e, w in zip(seg_starts, seg_ends, seg_w):
+        if w > budget:
+            if run_s >= 0:
+                tasks.append({"s": int(run_s), "e": int(s), "plo": -1, "phi": -1})
+                run_s, run_w = -1, 0
+            nsub = -(-w // budget)
+            step = -(-w // nsub)
+            for lo in range(0, int(w), int(step)):
+                tasks.append(
+                    {
+                        "s": int(s),
+                        "e": int(e),
+                        "plo": int(lo),
+                        "phi": int(min(lo + step, w)),
+                    }
+                )
+            continue
+        if run_s < 0:
+            run_s = s
+        run_w += int(w)
+        if run_w >= budget:
+            tasks.append({"s": int(run_s), "e": int(e), "plo": -1, "phi": -1})
+            run_s, run_w = -1, 0
+    if run_s >= 0:
+        tasks.append(
+            {"s": int(run_s), "e": int(seg_ends[-1]), "plo": -1, "phi": -1}
+        )
+
+    def wedge_close_corners(batch: pd.DataFrame) -> pd.DataFrame:
         # All-numpy wedge kernel: the wedge stream is Σ C(outdeg, 2) —
         # BILLIONS at scale even degree-oriented (dense conversation
         # cliques overlap at hub entities), so per-wedge cost must be
         # nanoseconds: per-u triangular pair indices (cached by k),
         # vectorized searchsorted membership against the broadcast key
         # array, and one bincount per ~4M-wedge buffer.  A pandas
-        # self-merge here is ~80× slower and holds the whole bucket's
+        # self-merge here is ~80× slower and holds the whole task's
         # wedge frame in memory at once.
         keys: np.ndarray = ray.get(ekeys_ref)
-        b = bucket.sort_values(["u", "v"], kind="mergesort")
-        u = b["u"].to_numpy().astype(np.int64)
-        v = b["v"].to_numpy().astype(np.int64)
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        ends = np.r_[starts[1:], len(u)]
         total = np.zeros(n_codes, np.int64)
         triu_cache: dict = {}
         buf: list = []
@@ -857,28 +908,57 @@ def triangle_counts(
                 )
                 buf, buf_n = [], 0
 
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue
-            iu_ju = triu_cache.get(k)
-            if iu_ju is None:
-                iu_ju = np.triu_indices(k, 1)
-                triu_cache[k] = iu_ju
-            vs = v[s:e]
-            vx = vs[iu_ju[0]]
-            vy = vs[iu_ju[1]]
+        def close(un: int, vx: np.ndarray, vy: np.ndarray):
+            nonlocal buf_n
             wkey = vx * n_codes + vy
             pos = np.searchsorted(keys, wkey).clip(max=len(keys) - 1)
             hit = keys[pos] == wkey
             nhit = int(hit.sum())
             if nhit:
-                total[u[s]] += nhit
+                total[un] += nhit
                 buf.append(vx[hit])
                 buf.append(vy[hit])
                 buf_n += 2 * nhit
                 if buf_n >= 4_000_000:
                     flush()
+
+        for _, t in batch.iterrows():
+            s, e, plo, phi = int(t["s"]), int(t["e"]), int(t["plo"]), int(t["phi"])
+            if plo < 0:
+                # run of whole u-segments
+                u = keys[s:e] // n_codes
+                v = keys[s:e] % n_codes
+                starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+                ends = np.r_[starts[1:], len(u)]
+                for a, b in zip(starts, ends):
+                    k = b - a
+                    if k < 2:
+                        continue
+                    iu_ju = triu_cache.get(k)
+                    if iu_ju is None:
+                        iu_ju = np.triu_indices(k, 1)
+                        triu_cache[k] = iu_ju
+                    vs = v[a:b]
+                    close(int(u[a]), vs[iu_ju[0]], vs[iu_ju[1]])
+            else:
+                # split hub: pairs [plo, phi) of ONE u's triangular
+                # index space, row-major ((i, j) with i < j)
+                vs = keys[s:e] % n_codes
+                un = int(keys[s] // n_codes)
+                k = e - s
+                row_lens = np.arange(k - 1, 0, -1, dtype=np.int64)
+                cum = np.zeros(k, np.int64)
+                np.cumsum(row_lens, out=cum[1:])
+                r0 = int(np.searchsorted(cum, plo, "right")) - 1
+                r1 = int(np.searchsorted(cum, phi, "left"))
+                counts = row_lens[r0:r1]
+                i_idx = np.repeat(np.arange(r0, r1, dtype=np.int64), counts)
+                within = np.arange(len(i_idx), dtype=np.int64) - np.repeat(
+                    cum[r0:r1] - cum[r0], counts
+                )
+                j_idx = i_idx + 1 + within
+                lo, hi = plo - int(cum[r0]), phi - int(cum[r0])
+                close(un, vs[i_idx[lo:hi]], vs[j_idx[lo:hi]])
         flush()
         nz = np.flatnonzero(total)
         return pd.DataFrame(
@@ -888,8 +968,15 @@ def triangle_counts(
             }
         )
 
-    partials = bucketed_map_groups(
-        oriented, ["u"], wedge_close_corners, default_buckets()
+    # one block per task descriptor, and MATERIALIZE the partials:
+    # without the barrier, operator fusion with the downstream
+    # exchange's 32768-row prepare bundles all the one-row task
+    # descriptors into a single task and the wedge kernels run
+    # sequentially (measured 5× slower — the standing fusion trap)
+    partials = (
+        rd.from_items(tasks, override_num_blocks=len(tasks))
+        .map_batches(wedge_close_corners, batch_format="pandas", batch_size=1)
+        .materialize()
     )
     counts = grouped_agg(
         partials, ["code"], {"n_triangles": "sum"}, default_buckets()
