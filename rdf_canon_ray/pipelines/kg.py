@@ -51,6 +51,44 @@ def _link_maps_ref(sf_dir: str):
     return ref
 
 
+# Entity-linker dimension gate: below it, the dimension tables ship as
+# broadcast dicts (build_link_maps — one driver read + ray.put); above
+# it (or force_partitioned_linker=True), mention surfaces resolve via
+# co-partitioned hash joins instead (resolve_mentions_partitioned) and
+# NO node-scale dictionary ever lands on the driver.  The check is
+# parquet-footer row counts — metadata only.
+LINKER_BROADCAST_MAX = 5_000_000
+
+
+def _linker_cardinality(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows
+        for t in ("customer", "part", "supplier")
+    )
+
+
+_EMPTY_MAPS_REF: dict = {}
+
+
+def _empty_maps_ref():
+    """Broadcast ref of EMPTY link maps for the partitioned-linker path:
+    emitters read the pre-resolved key columns, so the dicts are never
+    consulted — but the bucket kernel's linker cache still wants a
+    ref-keyed maps object."""
+    ref = _EMPTY_MAPS_REF.get("ref")
+    if ref is None:
+        ref = _EMPTY_MAPS_REF["ref"] = ray.put(
+            {"cust": {}, "part": {}, "part_count": {}, "supp": {}}
+        )
+    return ref
+
+
+def _use_partitioned_linker(sf_dir: str, force: bool) -> bool:
+    return force or _linker_cardinality(sf_dir) > LINKER_BROADCAST_MAX
+
+
 def transcripts_dataset(sf_dir: str, materialized: bool = True) -> rd.Dataset:
     """Transcript table for ``sf_dir`` — from the parquet cache when
     materialized (bench path; lets reruns skip generation), else built
@@ -120,18 +158,54 @@ def quads_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.D
     return _link_batches(sf_dir, transcripts, "quads")
 
 
-def links_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
+def _resolved_mentions(sf_dir: str, transcripts) -> rd.Dataset:
+    from ..transcripts.extract import resolve_mentions_partitioned
+
+    return resolve_mentions_partitioned(
+        mentions_dataset(sf_dir, transcripts), sf_dir, default_buckets()
+    )
+
+
+def _link_resolved(sf_dir: str, transcripts, emitter: str) -> rd.Dataset:
+    """Partitioned-linker variant of ``_link_batches``: mentions carry
+    pre-resolved key columns (hash joins), the emitters run dict-free."""
+    from ..stages.canonicalize import _cached_linker
+
+    maps_ref = _empty_maps_ref()
+    resolved = _resolved_mentions(sf_dir, transcripts)
+
+    def emit(batch):
+        linker = _cached_linker(maps_ref)
+        return getattr(linker, emitter)(batch)
+
+    return resolved.map_batches(emit, batch_format="pandas", batch_size=8192)
+
+
+def links_dataset(
+    sf_dir: str,
+    transcripts: Optional[rd.Dataset] = None,
+    force_partitioned_linker: bool = False,
+) -> rd.Dataset:
+    if _use_partitioned_linker(sf_dir, force_partitioned_linker):
+        return _link_resolved(sf_dir, transcripts, "_links")
     return _link_batches(sf_dir, transcripts, "links")
 
 
-def triples_dataset(sf_dir: str, transcripts: Optional[rd.Dataset] = None) -> rd.Dataset:
+def triples_dataset(
+    sf_dir: str,
+    transcripts: Optional[rd.Dataset] = None,
+    force_partitioned_linker: bool = False,
+) -> rd.Dataset:
     """Distinct extracted (conv_id, subj, pred, obj) IRI/literal triples —
     the SQL-oracle-checked extraction product.  The linker emits triples
     directly (no turn-node quad rows), per-batch dedup acts as the
     combiner, and a bucketed shuffle finishes the global DISTINCT."""
     from ..stages.shuffle import distinct
 
-    projected = _link_batches(sf_dir, transcripts, "triples")
+    if _use_partitioned_linker(sf_dir, force_partitioned_linker):
+        projected = _link_resolved(sf_dir, transcripts, "_triples")
+    else:
+        projected = _link_batches(sf_dir, transcripts, "triples")
     return distinct(projected, ["conv_id", "subj", "pred", "obj"])
 
 
@@ -251,14 +325,29 @@ def canonical_graphs_dataset(
     transcripts: Optional[rd.Dataset] = None,
     hash_name: str = "sha256",
     hndq_call_limit: Optional[int] = None,
+    force_partitioned_linker: bool = False,
 ) -> rd.Dataset:
     """Per-conversation canonical graphs via the fused fast path: the
     all-to-all exchange moves the compact mentions table; quad expansion
     and RDFC-1.0 run post-shuffle inside each bucket.  (The generic
     quads-table path is ``stages.canonicalize.canonicalize_graphs``,
-    used by the N-Quads source and tests.)"""
+    used by the N-Quads source and tests.)
+
+    Above ``LINKER_BROADCAST_MAX`` dimension rows (or with
+    ``force_partitioned_linker``) the mention surfaces resolve via
+    co-partitioned hash joins BEFORE the conversation exchange and the
+    bucket kernel runs dict-free — no driver-side dimension state
+    (pytest pins byte-equality with the broadcast path)."""
     from ..stages.canonicalize import canonicalize_mentions
 
+    if _use_partitioned_linker(sf_dir, force_partitioned_linker):
+        return canonicalize_mentions(
+            _resolved_mentions(sf_dir, transcripts),
+            _empty_maps_ref(),
+            hash_name=hash_name,
+            hndq_call_limit=hndq_call_limit,
+            num_buckets=default_buckets(),
+        )
     maps_ref = _link_maps_ref(sf_dir)
     return canonicalize_mentions(
         mentions_dataset(sf_dir, transcripts),

@@ -251,6 +251,114 @@ def build_link_maps(sf_dir: str):
     }
 
 
+_RESOLVED_COLS = ["cust_key", "part_key", "part_cnt", "supp_key"]
+
+
+def resolve_mentions_partitioned(
+    mentions_ds, sf_dir: str, num_buckets: int | None = None
+):
+    """Mentions + resolved entity keys via CO-PARTITIONED hash joins on
+    the surface keys — the above-the-gate linker path where the
+    dimension tables are too large for driver dicts (``build_link_maps``
+    reads every dimension row to the driver and ``ray.put``s the result;
+    at 100 TB the customer/part/supplier dims stream instead).
+
+    Semantics match the broadcast dictionaries exactly: part surfaces
+    resolve to MIN(p_partkey) per (p_name, p_brand) with the candidate
+    count attached (one small grouped aggregate on the dim side);
+    customer/supplier names are unique by construction, so a plain left
+    join is the dict lookup.  Output: the mention rows plus nullable
+    ``cust_key/part_key/part_cnt/supp_key`` columns (NaN = unresolved),
+    which every ``EntityLinker`` emitter prefers over its dicts."""
+    import os
+
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+    from ..util import default_buckets
+
+    nb = num_buckets or default_buckets()
+
+    def pad(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        for c in _RESOLVED_COLS:
+            if c not in out.columns:
+                out[c] = np.nan
+        # the join's internal side-union NaN-pads non-key int columns
+        # to float64 (standing trap) — cast turn_idx back before the
+        # emitters stringify it
+        out["turn_idx"] = out["turn_idx"].astype(np.int32)
+        return out[MENTION_COLS + _RESOLVED_COLS]
+
+    # one materialized pass: three filtered branches below would
+    # otherwise re-run extraction once per reference
+    ments = mentions_ds.materialize()
+
+    def subset(mtype: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["mtype"] == mtype]
+
+        return ments.map_batches(f, batch_format="pandas", batch_size=32768)
+
+    cust_dim = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b["c_name"], "cust_key": b["c_custkey"]}
+        ),
+        batch_format="pandas",
+        batch_size=32768,
+    )
+    part_raw = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_brand"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "a": b["p_name"],
+                "b": b["p_brand"],
+                "part_key": b["p_partkey"],
+                "part_cnt": np.ones(len(b), np.int64),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=32768,
+    )
+    part_dim = grouped_agg(
+        part_raw, ["a", "b"], {"part_key": "min", "part_cnt": "sum"}, nb
+    )
+    supp_dim = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c": b["s_name"], "supp_key": b["s_suppkey"]}
+        ),
+        batch_format="pandas",
+        batch_size=32768,
+    )
+
+    opened = hash_join(
+        subset("order_open"), cust_dim, on="a", how="left", num_buckets=nb
+    )
+    items = hash_join(
+        subset("item"), part_dim, on=["a", "b"], how="left", num_buckets=nb
+    )
+    items = hash_join(items, supp_dim, on="c", how="left", num_buckets=nb)
+    status = subset("order_status")
+
+    branches = [
+        ds.map_batches(pad, batch_format="pandas", batch_size=32768)
+        for ds in (opened, status, items)
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
 QUAD_COLS = ["graph_id", "s_kind", "s", "p", "o_kind", "o", "o_dt", "o_lang"]
 
 
@@ -333,6 +441,38 @@ class EntityLinker:
             return self._arrow()[name[1:]]
         raise AttributeError(name)
 
+    # -- surface resolution -------------------------------------------
+    # Each helper prefers a PRE-RESOLVED key column when the batch
+    # carries one (``resolve_mentions_partitioned`` attached it via
+    # co-partitioned hash joins — the above-the-gate path where the
+    # dimension tables are too large for driver dicts) and falls back
+    # to the broadcast dictionaries otherwise.  Both paths produce the
+    # same nullable float series (NaN = unresolved), so every emitter
+    # below is resolution-agnostic.
+    def _resolve_cust(self, sub: pd.DataFrame) -> pd.Series:
+        if "cust_key" in sub.columns:
+            return sub["cust_key"]
+        return sub["a"].map(self.cust)
+
+    def _resolve_part(self, sub: pd.DataFrame) -> pd.Series:
+        if "part_key" in sub.columns:
+            return sub["part_key"]
+        return pd.Series(
+            list(zip(sub["a"], sub["b"])), index=sub.index
+        ).map(self.part)
+
+    def _resolve_part_count(self, sub: pd.DataFrame) -> pd.Series:
+        if "part_cnt" in sub.columns:
+            return sub["part_cnt"]
+        return pd.Series(
+            list(zip(sub["a"], sub["b"])), index=sub.index
+        ).map(self.part_count)
+
+    def _resolve_supp(self, sub: pd.DataFrame) -> pd.Series:
+        if "supp_key" in sub.columns:
+            return sub["supp_key"]
+        return sub["c"].map(self.supp)
+
     # -- helpers ------------------------------------------------------
     @staticmethod
     def _rows(graph_id, s_kind, s, p, o_kind, o, o_dt=""):
@@ -386,7 +526,7 @@ class EntityLinker:
 
         sel = m == "order_open"
         if sel.any():
-            custkey = batch.loc[sel, "a"].map(self.cust)
+            custkey = self._resolve_cust(batch.loc[sel])
             ok = custkey.notna().to_numpy()
             idx = np.flatnonzero(sel)[ok]
             rows(idx, REL + "placedBy",
@@ -404,10 +544,8 @@ class EntityLinker:
         if sel.any():
             idx = np.flatnonzero(sel)
             sub = batch.iloc[idx]
-            pkeys = pd.Series(
-                list(zip(sub["a"], sub["b"])), index=sub.index
-            ).map(self.part)
-            skeys = sub["c"].map(self.supp)
+            pkeys = self._resolve_part(sub)
+            skeys = self._resolve_supp(sub)
             pok = pkeys.notna().to_numpy()
             if pok.any():
                 rows(idx[pok], REL + "hasPart",
@@ -446,7 +584,7 @@ class EntityLinker:
 
         sel = m == "order_open"
         if sel.any():
-            custkey = batch.loc[sel, "a"].map(self.cust)
+            custkey = self._resolve_cust(batch.loc[sel])
             ok = custkey.notna().to_numpy()
             idx = np.flatnonzero(sel)[ok]
             cust_iri = (
@@ -472,10 +610,8 @@ class EntityLinker:
         if sel.any():
             idx = np.flatnonzero(sel)
             sub = batch.iloc[idx]
-            pkeys = pd.Series(
-                list(zip(sub["a"], sub["b"])), index=sub.index
-            ).map(self.part)
-            skeys = sub["c"].map(self.supp)
+            pkeys = self._resolve_part(sub)
+            skeys = self._resolve_supp(sub)
             pok = pkeys.notna().to_numpy()
             if pok.any():
                 pi = idx[pok]
@@ -520,7 +656,7 @@ class EntityLinker:
 
         sel = m == "order_open"
         if sel.any():
-            custkey = batch.loc[sel, "a"].map(self.cust)
+            custkey = self._resolve_cust(batch.loc[sel])
             ok = custkey.notna().to_numpy()
             idx = np.flatnonzero(sel)[ok]
             convs.append(conv[idx])
@@ -533,10 +669,8 @@ class EntityLinker:
         if sel.any():
             idx = np.flatnonzero(sel)
             sub = batch.iloc[idx]
-            pkeys = pd.Series(
-                list(zip(sub["a"], sub["b"])), index=sub.index
-            ).map(self.part)
-            skeys = sub["c"].map(self.supp)
+            pkeys = self._resolve_part(sub)
+            skeys = self._resolve_supp(sub)
             pok = pkeys.notna().to_numpy()
             if pok.any():
                 convs.append(conv[idx[pok]])
@@ -568,7 +702,7 @@ class EntityLinker:
         sel = m == "order_open"
         if sel.any():
             sub = batch.loc[sel]
-            keys = sub["a"].map(self.cust)
+            keys = self._resolve_cust(sub)
             ok = keys.notna()
             rows["conv_id"].extend(sub.loc[ok, "conv_id"])
             rows["surface"].extend(sub.loc[ok, "a"])
@@ -580,9 +714,8 @@ class EntityLinker:
         sel = m == "item"
         if sel.any():
             sub = batch.loc[sel]
-            pair = pd.Series(list(zip(sub["a"], sub["b"])), index=sub.index)
-            pkeys = pair.map(self.part)
-            counts = pair.map(self.part_count)
+            pkeys = self._resolve_part(sub)
+            counts = self._resolve_part_count(sub)
             ok = pkeys.notna()
             rows["conv_id"].extend(sub.loc[ok, "conv_id"])
             rows["surface"].extend(sub.loc[ok, "a"] + "|" + sub.loc[ok, "b"])
@@ -591,7 +724,7 @@ class EntityLinker:
             )
             rows["score"].extend((1.0 / counts[ok]).tolist())
 
-            skeys = sub["c"].map(self.supp)
+            skeys = self._resolve_supp(sub)
             ok = skeys.notna()
             rows["conv_id"].extend(sub.loc[ok, "conv_id"])
             rows["surface"].extend(sub.loc[ok, "c"])

@@ -274,3 +274,36 @@ def test_cli_canonicalize_and_issue(ray_session):
         _sys.stdout = old
     assert rc == 0
     assert json.loads(buf.getvalue()) == {"e0": "c14n2", "e1": "c14n0", "e2": "c14n1"}
+
+
+def test_partitioned_linker_matches_broadcast(ray_session):
+    """Entity-linker dimension gate (VERDICT r04 #3): above
+    LINKER_BROADCAST_MAX (or forced), mention surfaces resolve via
+    co-partitioned hash joins with NO driver dicts — byte-equal canon
+    docs, identical triples and scored links."""
+    from rdf_canon_ray.pipelines import kg
+
+    a = (
+        kg.canonical_graphs_dataset(SF)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        kg.canonical_graphs_dataset(SF, force_partitioned_linker=True)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    assert a["graph_id"].equals(b["graph_id"])
+    assert a["canon_nquads"].equals(b["canon_nquads"])
+
+    key = lambda d: sorted(map(tuple, d.to_numpy()))
+    ta = kg.triples_dataset(SF).to_pandas()
+    tb = kg.triples_dataset(SF, force_partitioned_linker=True).to_pandas()
+    assert key(ta) == key(tb)
+    la = kg.links_dataset(SF).to_pandas()
+    lb = kg.links_dataset(SF, force_partitioned_linker=True).to_pandas()
+    la["score"] = la["score"].round(6)
+    lb["score"] = lb["score"].round(6)
+    assert key(la) == key(lb)
