@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skewed_graphs": _skewed_graphs,
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_comention_edges": lambda sf: graph.comention_edges(sf),
+        "kg_comention_incremental": lambda sf: graph.comention_incremental(
+            sf
+        ),
         "kg_comention_pmi": lambda sf: graph.comention_pmi(sf),
         "kg_bfs_depths": lambda sf: graph.bfs_depths(sf),
         "role_transitions": kg.role_transitions,
@@ -1481,6 +1484,12 @@ m AS (
 SELECT entity_iri, COUNT(*) AS n_mentions FROM m GROUP BY entity_iri
 """,
         "kg_comention_edges": f"""
+WITH {part_resolved},
+{mention_m}
+SELECT e1, e2 FROM ed
+""",
+        # (store ∪ delta) must equal the full rebuild — same oracle
+        "kg_comention_incremental": f"""
 WITH {part_resolved},
 {mention_m}
 SELECT e1, e2 FROM ed

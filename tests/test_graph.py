@@ -208,3 +208,18 @@ def test_triangle_hub_split_equals_whole_segments(ray_session):
     )
     assert a.equals(b)
     assert a["n_triangles"].sum() > 0
+
+
+def test_comention_incremental_equals_full_rebuild(ray_session):
+    """Incremental graph refresh (VERDICT r04 #6): persisted base pair
+    store ∪ delta-bucket pairs == full comention_edges rebuild; the
+    store holds only non-delta buckets (refresh cost O(delta))."""
+    import os
+
+    key = lambda d: sorted(map(tuple, d.to_numpy()))
+    full = graph.comention_edges(SF).to_pandas()
+    inc = graph.comention_incremental(SF, num_buckets=16, delta_mod=4).to_pandas()
+    assert key(full) == key(inc)
+    store = graph.comention_store(SF, num_buckets=16, delta_mod=4)
+    parts = [d for d in os.listdir(store) if d.startswith("part=")]
+    assert parts and all(int(p.split("=")[1]) % 4 != 0 for p in parts)
