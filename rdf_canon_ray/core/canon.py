@@ -202,6 +202,20 @@ class _State:
         self.h1dq_cache[n] = digest
         return digest
 
+    def h1dq_lines(self, n: str) -> List[str]:
+        """The H1DQ serializations for ``n`` in MENTION order (pre-sort)
+        — the ``nquads`` field of the reference's YAML trace
+        (`src/logger.rs`; golden files in tests/rdfc10_supplement).
+        Trace-only; the hash path above sorts before digesting."""
+        out = []
+        for _q, s_st, s, mid, o_st, o, g_st, g in self.mention_map[n]:
+            subj = s_st if s_st is not None else ("_:a" if s == n else "_:z")
+            obj = o_st if o_st is not None else ("_:a" if o == n else "_:z")
+            if g_st is None:
+                g_st = " _:a" if g == n else " _:z"
+            out.append(subj + mid + obj + g_st + " .")
+        return out
+
     # --- 4.7 Hash Related Blank Node (`src/canon.rs:602-654`) ---------
     def hash_related_blank_node(
         self, related: str, predicate: str, issuer: IdentifierIssuer, position: str
@@ -348,6 +362,7 @@ def issue(
                     "identifier": n,
                     "h1dq": {
                         "log point": "Hash First Degree Quads function (4.6.3).",
+                        "nquads": state.h1dq_lines(n),
                         "hash": h,
                     },
                 }

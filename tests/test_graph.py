@@ -164,6 +164,9 @@ def test_adjacency_store_cold_load_equality(ray_session):
 
     store = graph._adjacency_store_dir(SF, None)
     shutil.rmtree(store, ignore_errors=True)
+    # the persist happens on BUILD — drop the in-process cache so this
+    # test is order-independent (earlier tests may have packed SF)
+    graph._ENC_CACHE.clear()
     a = graph.pagerank(SF).to_pandas().sort_values("entity_iri").reset_index(drop=True)
     assert os.path.isfile(os.path.join(store, "_adj.json"))
     with open(os.path.join(store, "_adj.json")) as f:
