@@ -45,8 +45,10 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.canonicalize import _cached_linker
 from ..stages.joins import hash_join
 from ..stages.shuffle import bucketed_map_groups, distinct, grouped_agg
+from ..transcripts.extract import extract_mentions_arrow
 from ..util import default_buckets
 from .kg import _link_batches, transcripts_parquet
 
@@ -149,8 +151,14 @@ def _load_resident_graph(store: str, fingerprint: list, threshold: int):
     mf = os.path.join(store, "_adj.json")
     if not os.path.isfile(mf):
         return None
-    with open(mf) as f:
-        manifest = json.load(f)
+    try:
+        with open(mf) as f:
+            manifest = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # truncated/unreadable manifest (e.g. a crash mid-write before
+        # the atomic publish existed) — treat as no usable store and
+        # rebuild rather than poisoning every graph query
+        return None
     if (
         manifest.get("v") != _ADJ_STORE_V
         or manifest.get("fingerprint") != fingerprint
@@ -203,14 +211,20 @@ def _resident_graph(
         import json
         import shutil
 
-        if os.path.isdir(store):
-            shutil.rmtree(store)  # never leave stale data under a new tag
-        os.makedirs(store, exist_ok=True)
-        with open(os.path.join(store, "_adj.json"), "w") as f:
+        from ..util import atomic_publish_dir
+
+        tmp = store + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "_adj.json"), "w") as f:
             json.dump(
                 {"v": _ADJ_STORE_V, "fingerprint": fingerprint,
                  "n": int(n)}, f,
             )
+        if os.path.isdir(store):
+            shutil.rmtree(store)  # never leave stale data under a new tag
+        atomic_publish_dir(tmp, store)
         return None
     deg_df = adj.select_columns(["node", "deg"]).to_pandas()
     rg = _encoded_adjacency(adj, deg_df)
@@ -400,9 +414,10 @@ def _partition_pairs(path: str, maps_ref) -> pd.DataFrame:
     per-conversation dedup + expansion never crosses the file)."""
     import pyarrow.parquet as pq
 
-    from ..stages.canonicalize import _cached_linker
-    from ..transcripts.extract import extract_mentions_arrow
-
+    # _cached_linker / extract_mentions_arrow are imported at MODULE
+    # scope: this function runs inside worker-shipped UDFs, where an
+    # import executed in the body fails when the driver cwd != repo
+    # root (CLAUDE.md hard rule; cloudpickle registers the module).
     tbl = pq.read_table(
         path, columns=["conv_id", "turn_idx", "role", "text"]
     )
@@ -459,15 +474,21 @@ def comention_store(
     def build_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
-        pairs = _partition_pairs(batch["path"].iloc[0], maps_ref)
-        b = int(batch["bucket"].iloc[0])
-        pdir = os.path.join(tmp, f"part={b}")
-        os.makedirs(pdir, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(pairs, preserve_index=False),
-            os.path.join(pdir, "data.parquet"),
-        )
-        return pd.DataFrame({"bucket": [b], "rows": [len(pairs)]})
+        # loop over every descriptor row: fusion may bundle the 1-row
+        # descriptors (standing trap) — an iloc[0]-only read would
+        # silently skip the other buckets in the bundle
+        bs, ns = [], []
+        for path, b in zip(batch["path"], batch["bucket"]):
+            pairs = _partition_pairs(path, maps_ref)
+            pdir = os.path.join(tmp, f"part={int(b)}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pairs, preserve_index=False),
+                os.path.join(pdir, "data.parquet"),
+            )
+            bs.append(int(b))
+            ns.append(len(pairs))
+        return pd.DataFrame({"bucket": bs, "rows": ns})
 
     (
         rd.from_items(
@@ -511,7 +532,11 @@ def comention_incremental(
     maps_ref = _link_maps_ref(sf_dir)
 
     def delta_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return _partition_pairs(batch["path"].iloc[0], maps_ref)
+        # loop over EVERY descriptor row: operator fusion can bundle the
+        # 1-row descriptors into larger batches (standing trap), and an
+        # iloc[0]-only read would silently drop the other buckets' pairs
+        out = [_partition_pairs(p, maps_ref) for p in batch["path"]]
+        return pd.concat(out, ignore_index=True) if len(out) > 1 else out[0]
 
     delta_ds = rd.from_items(
         [{"path": p} for _, p in sorted(delta.items())],
@@ -721,10 +746,14 @@ def _dense_scatter(n: int, init: float, col: str, *blocks) -> np.ndarray:
     vec = np.full(int(n), init, np.float64)
     for b in blocks:
         if isinstance(b, pa.Table):
-            b = b.to_pandas()
-        vec[b["code"].to_numpy().astype(np.int64)] = b[col].to_numpy(
-            np.float64
-        )
+            # read only the two needed columns zero-copy; to_pandas()
+            # would copy the whole block once per block per iteration
+            codes = b.column("code").to_numpy().astype(np.int64)
+            vals = b.column(col).to_numpy().astype(np.float64)
+        else:
+            codes = b["code"].to_numpy().astype(np.int64)
+            vals = b[col].to_numpy(np.float64)
+        vec[codes] = vals
     return vec
 
 
