@@ -456,15 +456,11 @@ def comention_store(
     root = transcripts_parquet_partitioned(sf_dir, num_buckets)
     parts = _partition_paths(root)
     base = {b: p for b, p in parts.items() if b % delta_mod != 0}
-    fingerprint = [
-        [b, os.stat(p).st_size, os.stat(p).st_mtime_ns]
-        for b, p in sorted(base.items())
-    ]
-    mf = os.path.join(out_dir, "_store.json")
-    if os.path.isdir(out_dir) and os.path.isfile(mf):
-        with open(mf) as f:
-            if json.load(f).get("fingerprint") == fingerprint:
-                return out_dir
+    from ..util import partition_fingerprint, store_is_fresh
+
+    fingerprint = partition_fingerprint(base)
+    if store_is_fresh(out_dir, "_store.json", fingerprint):
+        return out_dir
     tmp = out_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

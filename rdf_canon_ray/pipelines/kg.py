@@ -567,15 +567,11 @@ def canonical_store(
     # If the partitioned transcript layout is rebuilt in place, the
     # surviving store dir no longer matches and is rebuilt instead of
     # silently feeding a stale base into the incremental merge.
-    fingerprint = [
-        [b, os.stat(p).st_size, os.stat(p).st_mtime_ns]
-        for b, p in sorted(base.items())
-    ]
-    mf = os.path.join(out_dir, "_store.json")
-    if os.path.isdir(out_dir) and os.path.isfile(mf):
-        with open(mf) as f:
-            if json.load(f).get("fingerprint") == fingerprint:
-                return out_dir
+    from ..util import partition_fingerprint, store_is_fresh
+
+    fingerprint = partition_fingerprint(base)
+    if store_is_fresh(out_dir, "_store.json", fingerprint):
+        return out_dir
     tmp = out_dir + ".tmp"
     import shutil
 
@@ -587,16 +583,25 @@ def canonical_store(
     def build_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
-        rows = process(batch)  # pa.Table
-        b = int(batch["bucket"].iloc[0])
-        pdir = os.path.join(tmp, f"part={b}")
-        os.makedirs(pdir, exist_ok=True)
-        pq.write_table(rows, os.path.join(pdir, "data.parquet"))
-        return pd.DataFrame({"bucket": [b], "rows": [rows.num_rows]})
+        # one store partition PER descriptor row: operator fusion can
+        # bundle the 1-row descriptors (standing trap) — writing a
+        # bundled batch under iloc[0]'s bucket would mislabel (and at
+        # merge time lose) every other bucket in the bundle
+        bs, ns = [], []
+        for i in range(len(batch)):
+            rows = process(batch.iloc[i : i + 1])  # pa.Table
+            b = int(batch["bucket"].iloc[i])
+            pdir = os.path.join(tmp, f"part={b}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(rows, os.path.join(pdir, "data.parquet"))
+            bs.append(b)
+            ns.append(rows.num_rows)
+        return pd.DataFrame({"bucket": bs, "rows": ns})
 
     (
         rd.from_items(
-            [{"path": p, "bucket": b} for b, p in sorted(base.items())]
+            [{"path": p, "bucket": b} for b, p in sorted(base.items())],
+            override_num_blocks=max(1, len(base)),
         )
         .map_batches(build_bucket, batch_format="pandas", batch_size=1)
         .count()

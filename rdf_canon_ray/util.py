@@ -55,3 +55,35 @@ def atomic_publish_dir(tmp: str, final: str) -> str:
         else:
             raise
     return final
+
+
+def partition_fingerprint(parts) -> list:
+    """Metadata-only input fingerprint for a persisted store keyed by
+    partition files: ``[[bucket, size, mtime_ns], ...]`` sorted by
+    bucket (one ``os.stat`` per file).  Shared by ``kg.canonical_store``
+    and ``graph.comention_store`` so the staleness semantics (a layout
+    rebuilt in place invalidates the surviving store dir) cannot drift
+    between them."""
+    import os
+
+    out = []
+    for b, p in sorted(parts.items()):
+        st = os.stat(p)
+        out.append([b, st.st_size, st.st_mtime_ns])
+    return out
+
+
+def store_is_fresh(out_dir: str, manifest_name: str, fingerprint) -> bool:
+    """True when ``out_dir`` exists and its manifest records exactly
+    ``fingerprint``; an unreadable/truncated manifest reads as stale."""
+    import json
+    import os
+
+    mf = os.path.join(out_dir, manifest_name)
+    if not (os.path.isdir(out_dir) and os.path.isfile(mf)):
+        return False
+    try:
+        with open(mf) as f:
+            return json.load(f).get("fingerprint") == fingerprint
+    except (json.JSONDecodeError, OSError):
+        return False
